@@ -1,0 +1,215 @@
+"""Typed configuration for the whole framework.
+
+Replaces the reference's single global argparse namespace
+(reference: options/options.py:9-86) and centralizes the constants the
+reference scatters across files (24 angle bins at Sg2ScVAE_model.py:10,
+NYU-40 class list repeated in diff_render.py:3 / test_render_refine.py:32 /
+test_SPADE_shade.py:32-36 / test_plot2d.py:16-20, camera constants at
+diff_render.py:14-17).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Sg2ScVAE hyperparameters (reference defaults: options/options.py:24-29,
+    build_dataset_model.py:39-53, Sg2ScVAE_model.py:7-23)."""
+
+    embedding_dim: int = 64
+    gconv_num_layers: int = 5
+    gconv_mode: str = "feedforward"          # 'feedforward' | 'recurrent'
+    gconv_pooling: str = "avg"
+    mlp_normalization: str = "batch"          # 'batch' | 'none'
+    decoder_cat: bool = True                   # options/options.py:55
+    use_attr: bool = True
+    use_ae: bool = False                       # options/options.py:54
+    train_3d: bool = True
+    num_angles: int = 24                       # Sg2ScVAE_model.py:10
+
+    # Vocabulary sizes (see sln_tpu.data.vocab). Stored here so the model is
+    # self-describing without a vocab object.
+    num_objs: int = 32
+    num_preds: int = 16
+    num_attrs: int = 5
+
+    @property
+    def gconv_dim(self) -> int:
+        return self.embedding_dim
+
+    @property
+    def gconv_hidden_dim(self) -> int:
+        # Hardcoded 4x in the reference (Sg2ScVAE_model.py:19-20); the
+        # declared --gconv_hidden_dim flag is dead there.
+        return self.embedding_dim * 4
+
+    @property
+    def box_embedding_dim(self) -> int:
+        return int(self.embedding_dim * 3 / 4)
+
+    @property
+    def angle_embedding_dim(self) -> int:
+        return int(self.embedding_dim / 4)
+
+    @property
+    def obj_embedding_dim(self) -> int:
+        return (int(self.embedding_dim * 3 / 4)
+                if self.use_attr else self.embedding_dim)
+
+    @property
+    def attr_embedding_dim(self) -> int:
+        return int(self.embedding_dim / 4) if self.use_attr else 0
+
+    @property
+    def box_dim(self) -> int:
+        return 6 if self.train_3d else 4
+
+    @property
+    def latent_dim(self) -> int:
+        # z = [z_box (48), z_angle (16)] at embedding_dim=64
+        return self.box_embedding_dim + self.angle_embedding_dim
+
+
+# ---------------------------------------------------------------------------
+# Data / batching
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Static-shape padded scene-graph batching.
+
+    The reference flattens ragged scenes into one variable-size graph per
+    batch (data/suncg_dataset.py:295-337). XLA needs static shapes, so each
+    scene is padded to `max_objects` object slots (the last real slot is the
+    __room__ node) and `max_triples` triple slots, with boolean masks.
+    """
+
+    max_objects: int = 32      # per scene, includes the __room__ node
+    max_triples: int = 96      # >= max_on_rels + 2*max_objects
+    max_on_rels: int = 32      # cap on 'on' relations packed per scene
+    use_attr_30: bool = True   # options/options.py:58
+    touching_relations: bool = True
+
+    train_path: str = "metadata/data_rot_train.json"
+    val_path: str = "metadata/data_rot_val.json"
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Reference defaults: options/options.py:34-59, train.py:73-76."""
+
+    batch_size: int = 128
+    num_iterations: int = 600_000
+    learning_rate: float = 1e-4
+    kl_loss_weight: float = 0.1
+    kl_linear_decay: bool = False   # staircase 10**(t//1e5 - 6) when True
+    seed: int = 42
+    print_every: int = 100
+    checkpoint_every: int = 1000
+    snapshot_every: int = 10_000
+    eval_mode_after: int = -1
+    output_dir: str = "./checkpoints"
+    checkpoint_name: str = "latest_checkpoint"
+    # TPU-specific
+    data_axis: str = "data"
+    model_axis: str = "model"
+    compute_dtype: str = "float32"   # model is tiny; fp32 keeps parity
+
+
+# ---------------------------------------------------------------------------
+# Rendering / refinement
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Projection camera (reference: models/diff_render.py:13-46)."""
+
+    focal_pix: float = 400.0          # at a 1024-wide sensor
+    sensor_size: int = 1024
+    inter_size: int = 512             # `inter_out`, diff_render.py:4
+    image_size: int = 256             # `final_out`, diff_render.py:5
+    pitch: float = -0.4               # theta_rot, diff_render.py:15
+    height_offset_cap: float = 0.1    # diff_render.py:26
+    near: float = 0.001
+    depth_clip: float = 15.0          # diff_render.py:367
+    cull_eps: float = 0.06            # diff_render.py:347
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    max_vertices: int = 4096          # padded per-scene vertex buffer
+    max_faces: int = 8192             # padded per-scene face buffer
+    sigma: float = 1e-4               # soft-rasterizer edge sharpness
+    gamma: float = 1e-2               # soft depth aggregation temperature
+    num_classes: int = 41             # 1 empty + 40 NYU classes
+
+
+@dataclass(frozen=True)
+class RefineConfig:
+    """Latent-optimization refinement (reference: testing/test_render_refine.py)."""
+
+    num_iters: int = 60               # Niter_train, test_render_refine.py:269
+    lr_z: float = 2e-4                # :286
+    lr_model_scale: float = 0.1       # model params at lr/10
+    momentum: float = 0.1
+    nesterov: bool = True
+    seed: int = 13                    # :274-275
+    softargmax_beta: float = 2.0      # :20
+    angle_noise_scale: float = 0.1    # :293
+    pyramid_sizes: Tuple[int, ...] = (32, 48, 64, 96)   # PSP_pool_new :193
+    depth_loss_weight: float = 100.0 * 0.5              # :350-352
+    semantic_loss_weight: float = 100.0 / 800.0         # :349-352
+    size_loss_weight: float = 2.0                        # :354
+
+
+# ---------------------------------------------------------------------------
+# SPADE
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SpadeConfig:
+    """SPADEGenerator4 as loaded at inference (testing/test_SPADE_shade.py:9)."""
+
+    semantic_nc: int = 41
+    target_nc: int = 3
+    nz: int = 256
+    ngf: int = 64
+    norm: str = "spectralspadelayer3x3"
+    crop_size: int = 256
+    n_up: str = "normal"
+    num_z: int = 50                   # test.py:94
+
+
+# ---------------------------------------------------------------------------
+# Top-level
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+    refine: RefineConfig = field(default_factory=RefineConfig)
+    spade: SpadeConfig = field(default_factory=SpadeConfig)
+    test_dir: str = "./layouts_out"
+
+    def replace(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+
+def default_config() -> Config:
+    return Config()

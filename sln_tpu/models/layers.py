@@ -1,0 +1,91 @@
+"""Shared NN building blocks: masked BatchNorm and the reference-style MLP.
+
+The reference's `make_mlp` (reference: models/graph.py:10-27) stacks
+Linear -> BatchNorm1d -> ReLU and, with `norelu=True`, strips the trailing
+activation (and BatchNorm). Its BatchNorm runs over the ragged
+"all objects/triples in the batch" axis; here batches are padded to static
+shapes, so BatchNorm computes masked statistics over valid rows only —
+numerically identical to the reference on the same data.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# torch.nn.init.kaiming_normal_ default: gain=sqrt(2), fan_in, normal
+# (reference: models/graph.py:30-33).
+kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over valid rows of a padded (N, F) activation matrix.
+
+    Matches torch.nn.BatchNorm1d semantics (eps=1e-5, momentum=0.1, biased
+    variance for normalization, unbiased for the running-variance update).
+    """
+
+    features: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 train: bool) -> jnp.ndarray:
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(self.features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(self.features, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        if train:
+            m = mask.astype(jnp.float32)[:, None]
+            n = jnp.maximum(m.sum(), 1.0)
+            xf = x.astype(jnp.float32)
+            mean = (xf * m).sum(axis=0) / n
+            var = (jnp.square(xf - mean) * m).sum(axis=0) / n
+            if not self.is_initializing():
+                unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+                ra_mean.value = ((1.0 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean)
+                ra_var.value = ((1.0 - self.momentum) * ra_var.value
+                                + self.momentum * unbiased)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(x.dtype)
+
+
+class MLP(nn.Module):
+    """Reference `make_mlp` equivalent (models/graph.py:10-27).
+
+    dims = [d_in, d_hidden, ..., d_out]. Each stage is
+    Dense -> (BatchNorm) -> ReLU; `final_plain=True` replicates
+    `norelu=True` (last stage is Dense only).
+    """
+
+    dims: Sequence[int]
+    batch_norm: str = "none"          # 'batch' | 'none'
+    final_plain: bool = False          # reference `norelu`
+    kernel_init: nn.initializers.Initializer = kaiming_normal
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 train: bool) -> jnp.ndarray:
+        num_stages = len(self.dims) - 1
+        for i in range(num_stages):
+            x = nn.Dense(self.dims[i + 1], kernel_init=self.kernel_init,
+                         name=f"dense_{i}")(x)
+            is_last = i == num_stages - 1
+            if is_last and self.final_plain:
+                break
+            if self.batch_norm == "batch":
+                x = MaskedBatchNorm(self.dims[i + 1], name=f"bn_{i}")(
+                    x, mask, train)
+            x = nn.relu(x)
+        return x
