@@ -1,0 +1,86 @@
+"""Checkpointing with the reference's artifact semantics.
+
+Mirrors reference train.py:34-55, 93-114: a single checkpoint dict holding
+model state, optimizer state, counters, and loss history, saved as three
+artifacts:
+
+* ``latest_<name>_with_model.ckpt``  every checkpoint_every steps
+* ``<name>snapshot_%06dK.ckpt``      every snapshot_every steps
+* ``<name>_no_model.ckpt``           weights-stripped, for cheap loss-curve
+                                     inspection
+
+Serialization is pickle over numpy-ified pytrees (the reference uses
+torch.save, which is pickle too).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def new_checkpoint(config_dict: Dict[str, Any],
+                   vocab: Dict[str, Any]) -> Dict[str, Any]:
+    """Fresh history dict (reference train.py:34-55)."""
+    return {
+        "args": config_dict,
+        "vocab": vocab,
+        "losses_ts": [],
+        "losses": {},
+        "checkpoint_ts": [],
+        "counters": {"t": None, "epoch": None},
+        "model_state": None,
+        "optim_state": None,
+    }
+
+
+def record_losses(ckpt: Dict[str, Any], t: int,
+                  losses: Dict[str, float]) -> None:
+    for name, val in losses.items():
+        ckpt["losses"].setdefault(name, []).append(float(val))
+    ckpt["losses_ts"].append(int(t))
+
+
+def save_checkpoint(ckpt: Dict[str, Any], output_dir: str, name: str,
+                    t: int, epoch: int, model_state, optim_state,
+                    snapshot: bool = False) -> str:
+    os.makedirs(output_dir, exist_ok=True)
+    ckpt["model_state"] = _to_numpy(model_state)
+    ckpt["optim_state"] = _to_numpy(optim_state)
+    ckpt["counters"]["t"] = int(t)
+    ckpt["counters"]["epoch"] = int(epoch)
+
+    latest = os.path.join(output_dir, f"latest_{name}_with_model.ckpt")
+    with open(latest, "wb") as f:
+        pickle.dump(ckpt, f)
+
+    if snapshot:
+        snap = os.path.join(output_dir, name + "snapshot_%06dK.ckpt"
+                            % (t // 1000))
+        with open(snap, "wb") as f:
+            pickle.dump(ckpt, f)
+
+    small = {k: v for k, v in ckpt.items()
+             if k not in ("model_state", "optim_state")}
+    with open(os.path.join(output_dir, f"{name}_no_model.ckpt"), "wb") as f:
+        pickle.dump(small, f)
+    return latest
+
+
+def load_checkpoint(path: str) -> Optional[Dict[str, Any]]:
+    if not os.path.isfile(path):
+        return None
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def latest_path(output_dir: str, name: str) -> str:
+    return os.path.join(output_dir, f"latest_{name}_with_model.ckpt")

@@ -1,0 +1,131 @@
+"""Jitted SPMD training step + epoch driver.
+
+Replaces the reference train loop (train.py:56-114): one fused XLA program
+per step that (1) builds the stochastic scene graphs on device, (2) runs the
+VAE forward, (3) assembles masked losses with the KL schedule, (4) applies
+Adam with a NaN-skip guard, all sharded over the data axis of an ICI mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sln_tpu.config import Config
+from sln_tpu.data.augment import SizeInfo, build_graphs
+from sln_tpu.data.batch import SceneBatch
+from sln_tpu.models.vae import Sg2ScVAE
+from sln_tpu.train.losses import vae_losses
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray          # () int32
+
+
+class RawBatch(NamedTuple):
+    """Tensorized scenes before on-device graph augmentation."""
+    objs: jnp.ndarray          # (B, O) int32
+    boxes: jnp.ndarray         # (B, O, 6) float32
+    angles: jnp.ndarray        # (B, O) int32
+    obj_mask: jnp.ndarray      # (B, O) bool
+    room_ids: jnp.ndarray      # (B,) int32
+
+
+def kl_weight_at(step: jnp.ndarray, cfg) -> jnp.ndarray:
+    """Constant or staircase-decay KL weight (reference train.py:73-76)."""
+    if cfg.kl_linear_decay:
+        return 10.0 ** (step // 100_000 - 6).astype(jnp.float32)
+    return jnp.float32(cfg.kl_loss_weight)
+
+
+def create_state(cfg: Config, rng: jax.Array,
+                 example: SceneBatch) -> Tuple[Sg2ScVAE, TrainState,
+                                               optax.GradientTransformation]:
+    model = Sg2ScVAE(cfg.model)
+    variables = model.init(rng, example, None, False)
+    tx = optax.adam(cfg.train.learning_rate)
+    opt_state = tx.init(variables["params"])
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=opt_state,
+                       step=jnp.zeros((), jnp.int32))
+    return model, state, tx
+
+
+def make_train_step(model: Sg2ScVAE, tx: optax.GradientTransformation,
+                    cfg: Config, size_info: SizeInfo
+                    ) -> Callable[[TrainState, RawBatch, jax.Array],
+                                  Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the jitted step. size_info is closed over as device constants."""
+
+    max_on = cfg.data.max_on_rels
+    use_attr_30 = cfg.data.use_attr_30
+    use_ae = cfg.model.use_ae
+
+    def step_fn(state: TrainState, raw: RawBatch, rng: jax.Array):
+        rng_graph, rng_z = jax.random.split(jax.random.fold_in(rng,
+                                                               state.step))
+        batch = build_graphs(rng_graph, raw.objs, raw.boxes, raw.angles,
+                             raw.obj_mask, raw.room_ids, size_info,
+                             max_on_rels=max_on, use_attr_30=use_attr_30)
+
+        def loss_fn(params):
+            (mu, logvar, boxes_pred, angle_lp), mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, rng_z, True, mutable=["batch_stats"])
+            kl_w = kl_weight_at(state.step + 1, cfg.train)
+            total, losses = vae_losses(batch, mu, logvar, boxes_pred,
+                                       angle_lp, kl_w, use_ae)
+            return total, (losses, mut.get("batch_stats", {}))
+
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        # NaN guard: skip the whole update on non-finite loss
+        # (reference train.py:79-81).
+        finite = jnp.isfinite(total)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        def pick(new, old):
+            return jax.tree.map(
+                lambda a, b: jnp.where(finite, a, b), new, old)
+
+        new_state = TrainState(
+            params=pick(new_params, state.params),
+            batch_stats=pick(new_stats, state.batch_stats) if new_stats
+            else state.batch_stats,
+            opt_state=pick(new_opt, state.opt_state),
+            step=state.step + 1)
+        losses["skipped_nan"] = (~finite).astype(jnp.float32)
+        return new_state, losses
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def batches_from_arrays(arrays: Dict[str, np.ndarray], batch_size: int,
+                        rng: np.random.Generator):
+    """Shuffled fixed-size epoch iterator over tensorized scenes.
+
+    Pads the final partial batch by wrapping around (static shapes for XLA)
+    — the reference's DataLoader just emits a ragged final batch instead.
+    """
+    n = arrays["objs"].shape[0]
+    order = rng.permutation(n)
+    if n % batch_size:
+        order = np.concatenate(
+            [order, order[: batch_size - n % batch_size]])
+    for start in range(0, len(order), batch_size):
+        idx = order[start: start + batch_size]
+        yield RawBatch(
+            objs=arrays["objs"][idx], boxes=arrays["boxes"][idx],
+            angles=arrays["angles"][idx], obj_mask=arrays["obj_mask"][idx],
+            room_ids=arrays["room_ids"][idx])

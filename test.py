@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Eval / inference workload dispatcher (TPU-native rebuild of reference
+test.py): --batch_gen, --measure_acc_l1_std, --heat_map, --draw_2d,
+--fine_tune, --gan_shade.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    # workload modes (reference options/options.py:62-68)
+    p.add_argument("--batch_gen", action="store_true")
+    p.add_argument("--measure_acc_l1_std", action="store_true")
+    p.add_argument("--heat_map", action="store_true")
+    p.add_argument("--draw_2d", action="store_true")
+    p.add_argument("--draw_3d", action="store_true")
+    p.add_argument("--fine_tune", action="store_true")
+    p.add_argument("--gan_shade", action="store_true")
+    # shared config
+    p.add_argument("--suncg_train_dir", default="metadata/data_rot_train.json")
+    p.add_argument("--suncg_val_dir", default="metadata/data_rot_val.json")
+    p.add_argument("--output_dir", default="./checkpoints")
+    p.add_argument("--checkpoint_name", default="latest_checkpoint")
+    p.add_argument("--test_dir", default="./layouts_out")
+    p.add_argument("--manual_seed", default=42, type=int)
+    p.add_argument("--batch_size", default=256, type=int)
+    # TPU-native additions
+    p.add_argument("--synthetic", default=0, type=int,
+                   help="use N synthetic rooms instead of SUNCG json")
+    p.add_argument("--max_objects", default=32, type=int)
+    p.add_argument("--allow_random_weights", action="store_true")
+    p.add_argument("--heatmap_iters", default=20000, type=int)
+    p.add_argument("--num_z", default=50, type=int,
+                   help="z samples for gan_shade (reference test.py:94)")
+    p.add_argument("--room_ids", default="", type=str,
+                   help="comma-separated room ids for --fine_tune")
+    return p.parse_args(argv)
+
+
+def build_cfg(args):
+    from sln_tpu.config import DataConfig, TrainConfig, default_config
+    cfg = default_config()
+    return cfg.replace(
+        data=DataConfig(max_objects=args.max_objects,
+                        max_triples=args.max_objects * 3,
+                        max_on_rels=args.max_objects,
+                        train_path=args.suncg_train_dir,
+                        val_path=args.suncg_val_dir),
+        train=TrainConfig(output_dir=args.output_dir,
+                          checkpoint_name=args.checkpoint_name),
+        test_dir=args.test_dir)
+
+
+def setup(args, cfg):
+    import jax
+
+    from sln_tpu.data.augment import build_graphs
+    from sln_tpu.workloads import common
+
+    if args.synthetic:
+        train_arrays, size_info = common.load_arrays(args.synthetic, cfg)
+        val_arrays, _ = common.load_arrays(max(args.synthetic // 4, 8), cfg,
+                                           synthetic_seed=99)
+    else:
+        train_arrays, size_info = common.load_arrays(cfg.data.train_path,
+                                                     cfg)
+        val_arrays, _ = common.load_arrays(cfg.data.val_path, cfg)
+
+    b = min(8, train_arrays["objs"].shape[0])
+    import jax.numpy as jnp
+    example = build_graphs(
+        jax.random.PRNGKey(0), jnp.asarray(train_arrays["objs"][:b]),
+        jnp.asarray(train_arrays["boxes"][:b]),
+        jnp.asarray(train_arrays["angles"][:b]),
+        jnp.asarray(train_arrays["obj_mask"][:b]),
+        jnp.asarray(train_arrays["room_ids"][:b]), size_info,
+        max_on_rels=cfg.data.max_on_rels)
+    model, variables = common.restore_model(cfg, example,
+                                            args.allow_random_weights)
+    return model, variables, train_arrays, val_arrays, size_info
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = build_cfg(args)
+    os.makedirs(args.test_dir, exist_ok=True)
+
+    if args.batch_gen:
+        from sln_tpu.workloads import batch_gen
+        model, variables, tr, va, si = setup(args, cfg)
+        out = batch_gen.run_batch_gen(model, variables, tr, va, si, cfg,
+                                      args.test_dir,
+                                      batch_size=args.batch_size)
+        print("Wrote", out)
+        return
+
+    if args.measure_acc_l1_std:
+        from sln_tpu.workloads import acc_l1_std, posterior
+        model, variables, tr, va, si = setup(args, cfg)
+        mean, cov = posterior.get_or_compute_mean_cov(
+            model, variables, tr, si, cfg, args.test_dir)
+        acc = acc_l1_std.run_acc_l1(model, variables, va, si, cfg, mean, cov,
+                                    batch_size=args.batch_size)
+        print("PRED, RAND, PERT L1:", acc["l1_pred"], acc["l1_rand"],
+              acc["l1_pert"])
+        print("PRED, RAND, PERT ACC: ", acc["acc_pred"], acc["acc_rand"],
+              acc["acc_pert"])
+        std = acc_l1_std.run_std(model, variables, va, si, cfg, mean, cov,
+                                 batch_size=args.batch_size)
+        print("mean angle std:", std["std_angle"])
+        print("mean pos std:", std["std_pos"])
+        print("mean sizes std:", std["std_size"])
+        return
+
+    if args.heat_map:
+        from sln_tpu.workloads import heatmap, posterior
+        model, variables, tr, va, si = setup(args, cfg)
+        mean, cov = posterior.get_or_compute_mean_cov(
+            model, variables, tr, si, cfg, args.test_dir)
+        print("Calling network to produce object positions...")
+        pkl_path = heatmap.produce_heatmap(model, variables, mean, cov,
+                                           args.test_dir,
+                                           num_iter=args.heatmap_iters)
+        print("Rendering images...")
+        heat_dir = os.path.join(args.test_dir, "data", "heat")
+        paths = heatmap.plot_heatmap(pkl_path, heat_dir)
+        print("Wrote", len(paths), "heatmaps to", heat_dir)
+        return
+
+    if args.draw_2d:
+        from sln_tpu.workloads.plot2d import plot2d
+        # same demo layout as reference test.py:46-53
+        exp_boxes = np.array([
+            [0.31150928, 0.31271002, 0.00309663, 0.72957528, 0.82625818,
+             0.05425087],
+            [-0.06599953, 0.01722394, 0.28853789, 0.25737822, 0.75531799,
+             0.42857787],
+            [0.55675948, 0.01778692, 0.14249095, 0.90461600, 0.31667089,
+             0.66919732],
+            [0.62057209, 0.01821164, 0.84169930, 0.83482409, 0.38932487,
+             0.96370161],
+            [0.17114696, 0.01767171, 0.80859685, 0.46015960, 0.50266063,
+             0.96572173],
+            [0.0, 0.0, 0.0, 1.0, 0.73272365, 0.92786783]])
+        exp_rots = [0.00085504, 18.07450676, 6.06250334, 12.16077995,
+                    12.01297188, 0.0]
+        obj_types = [20, 18, 30, 3, 11, 0]
+        save_dir = os.path.join(args.test_dir, "data", "2D_rendered")
+        os.makedirs(save_dir, exist_ok=True)
+        out = os.path.join(save_dir, "demo.png")
+        plot2d(exp_boxes, exp_rots, obj_types, out)
+        print("Wrote", out)
+        return
+
+    if args.fine_tune:
+        from sln_tpu.workloads import refine
+        model, variables, tr, va, si = setup(args, cfg)
+        room_ids = ([s for s in args.room_ids.split(",") if s]
+                    or [str(int(va["room_ids"][0]))])
+        base = os.path.join(args.test_dir, "data", "finetune")
+        os.makedirs(base, exist_ok=True)
+        dirs = [os.path.join(base, r) for r in room_ids]
+        refine.finetune_rooms(model, variables, va, si, cfg, room_ids, dirs)
+        return
+
+    if args.gan_shade:
+        from sln_tpu.workloads import gan_shade
+        model, variables, tr, va, si = setup(args, cfg)
+        out_dir = os.path.join(args.test_dir, "data", "SPADE_out")
+        os.makedirs(out_dir, exist_ok=True)
+        gan_shade.run_gan_shade(model, variables, va, si, cfg,
+                                num_z=args.num_z, save_dir=out_dir)
+        return
+
+    print("No mode selected; see --help")
+
+
+if __name__ == "__main__":
+    main()

@@ -2,7 +2,6 @@
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +11,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
+# The installed TPU plugin ("axon") ignores the JAX_PLATFORMS env var; the
+# config update below is what actually forces the CPU backend for tests.
+jax.config.update("jax_platforms", "cpu")
 # Full-precision matmuls for numerical parity tests (JAX's default CPU
 # matmul precision uses reduced-precision accumulation).
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,121 @@
+"""Eval workloads: posterior stats, batch_gen artifacts, heatmap artifacts,
+acc/L1/std metrics, 2D plots."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sln_tpu.config import DataConfig, default_config
+from sln_tpu.data.augment import build_graphs
+from sln_tpu.models.vae import Sg2ScVAE
+from sln_tpu.workloads import (acc_l1_std, batch_gen, common, heatmap,
+                               posterior)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = default_config()
+    cfg = cfg.replace(data=DataConfig(max_objects=16, max_triples=48,
+                                      max_on_rels=16))
+    train_arrays, size_info = common.load_arrays(24, cfg)
+    val_arrays, _ = common.load_arrays(12, cfg, synthetic_seed=5)
+    b = 8
+    example = build_graphs(
+        jax.random.PRNGKey(0), jnp.asarray(train_arrays["objs"][:b]),
+        jnp.asarray(train_arrays["boxes"][:b]),
+        jnp.asarray(train_arrays["angles"][:b]),
+        jnp.asarray(train_arrays["obj_mask"][:b]),
+        jnp.asarray(train_arrays["room_ids"][:b]), size_info,
+        max_on_rels=cfg.data.max_on_rels)
+    model = Sg2ScVAE(cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), example, None, False)
+    return cfg, model, variables, train_arrays, val_arrays, size_info
+
+
+def test_posterior_stats(setup, tmp_path):
+    cfg, model, variables, tr, va, si = setup
+    mean, cov = posterior.collect_posterior_stats(model, variables, tr, si,
+                                                  cfg, batch_size=16)
+    d = cfg.model.latent_dim
+    assert mean.shape == (d,) and cov.shape == (d, d)
+    assert np.all(np.isfinite(mean)) and np.all(np.isfinite(cov))
+    # cov must be symmetric PSD
+    np.testing.assert_allclose(cov, cov.T, atol=1e-9)
+    evals = np.linalg.eigvalsh(cov)
+    assert evals.min() > -1e-8
+
+    # caching writes/reads the reference pkl format
+    m2, c2 = posterior.get_or_compute_mean_cov(model, variables, tr, si,
+                                               cfg, str(tmp_path))
+    with open(tmp_path / "mean_cov.pkl", "rb") as f:
+        loaded = pickle.load(f)
+    assert len(loaded) == 2
+    m3, c3 = posterior.get_or_compute_mean_cov(model, variables, tr, si,
+                                               cfg, str(tmp_path))
+    np.testing.assert_array_equal(m2, m3)
+
+
+def test_batch_gen_artifact(setup, tmp_path):
+    cfg, model, variables, tr, va, si = setup
+    out = batch_gen.run_batch_gen(model, variables, tr, va, si, cfg,
+                                  str(tmp_path), batch_size=8)
+    with open(out) as f:
+        data = json.load(f)
+    assert len(data) == va["objs"].shape[0]
+    room = next(iter(data.values()))
+    assert set(room.keys()) == {"gt", "0", "1", "2", "3"}
+    n = len(room["gt"]["objs"])
+    assert len(room["gt"]["boxes"]) == n
+    assert len(room["0"]["boxes"]) == n
+    assert room["gt"]["objs"][-1] == 0  # room node last
+    for tr_ in room["gt"]["triples"]:
+        assert len(tr_) == 3
+
+
+def test_heatmap_workload(setup, tmp_path):
+    cfg, model, variables, tr, va, si = setup
+    mean = np.zeros(cfg.model.latent_dim)
+    cov = np.eye(cfg.model.latent_dim)
+    pkl = heatmap.produce_heatmap(model, variables, mean, cov,
+                                  str(tmp_path), num_iter=64, batch_size=32)
+    with open(pkl, "rb") as f:
+        objs, attrs, boxes_list, ag = pickle.load(f)
+    assert len(boxes_list) == 64
+    assert len(boxes_list[0]) == 6          # 5 objects + room
+    assert boxes_list[0][0].shape == (6,)
+    pngs = heatmap.plot_heatmap(pkl, str(tmp_path / "png"))
+    assert len(pngs) == 5
+    assert all(os.path.getsize(p) > 0 for p in pngs)
+
+
+def test_acc_l1_std(setup):
+    cfg, model, variables, tr, va, si = setup
+    d = cfg.model.latent_dim
+    mean, cov = np.zeros(d), np.eye(d)
+    res = acc_l1_std.run_acc_l1(model, variables, va, si, cfg, mean, cov,
+                                batch_size=8)
+    for k in ("l1_pred", "l1_rand", "l1_pert", "acc_pred", "acc_rand",
+              "acc_pert"):
+        assert np.isfinite(res[k]), (k, res)
+    assert 0.0 <= res["acc_pred"] <= 1.0
+    # perturbed-GT should beat random boxes on L1 (sanity of the baselines)
+    assert res["l1_pert"] < res["l1_rand"]
+    std = acc_l1_std.run_std(model, variables, va, si, cfg, mean, cov,
+                             nsample=4, batch_size=8)
+    assert all(np.isfinite(v) for v in std.values())
+
+
+def test_plot2d(tmp_path):
+    from sln_tpu.workloads.plot2d import plot2d
+    boxes = np.array([
+        [0.3, 0.3, 0.0, 0.7, 0.8, 0.05],
+        [0.1, 0.0, 0.3, 0.3, 0.7, 0.45],
+        [0.0, 0.0, 0.0, 1.0, 0.73, 0.93]])
+    out = tmp_path / "demo.png"
+    plot2d(boxes, [0.0, 18.0, 0.0], [20, 30, 0], str(out))
+    assert out.exists() and out.stat().st_size > 0
