@@ -152,9 +152,12 @@ class RenderConfig:
     camera: CameraConfig = field(default_factory=CameraConfig)
     max_vertices: int = 4096          # padded per-scene vertex buffer
     max_faces: int = 8192             # padded per-scene face buffer
-    sigma: float = 1e-4               # soft-rasterizer edge sharpness
-    gamma: float = 1e-2               # soft depth aggregation temperature
+    sigma_px: float = 0.5             # soft edge band width (pixels)
+    gamma: float = 0.02               # visibility softmax temperature (m)
+    z_far: float = 100.0              # background depth
     num_classes: int = 41             # 1 empty + 40 NYU classes
+    mesh_subdiv: int = 2              # procedural bank subdivision
+    shell_subdiv: int = 4             # room-shell subdivision
 
 
 @dataclass(frozen=True)
