@@ -1,0 +1,314 @@
+"""Render-and-refine: per-room latent optimization against rendered targets.
+
+Re-implements the reference refinement loop (testing/test_render_refine.py)
+as ONE jitted optimization step running fully on device:
+
+    decode(z) -> softargmax angles (+noise) -> assemble scene -> soft
+    rasterize -> PSP-pyramid depth L1 + multi-scale semantic CE + size
+    drift MSE -> SGD(nesterov) on [z, model params at lr/10]
+
+vs the reference's per-step mix of Python mesh retrieval, ~37 CUDA
+rasterizer passes and host-side bookkeeping. Gradient shaping matches the
+reference hooks: `fix_grad` (box gradients averaged into translation-only,
+:220-225) and `quad_grad` (4x angle gradients, :227-230), via custom_vjp
+identities. Mesh retrieval and object sizes are frozen at iteration 0
+(model_ids_old / obj_size_target caching, diff_render.py:55-60,84-89).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sln_tpu.config import Config
+from sln_tpu.data.augment import SizeInfo, build_graphs
+from sln_tpu.data.batch import SceneBatch
+from sln_tpu.render import assets, scene as scene_lib
+
+
+# ---------------------------------------------------------------------------
+# gradient-shaping hooks (reference :220-230)
+# ---------------------------------------------------------------------------
+@jax.custom_vjp
+def fix_grad(x):
+    return x
+
+
+def _fix_fwd(x):
+    return x, None
+
+
+def _fix_bwd(_, g):
+    avg = g[..., :3] / 2.0 + g[..., 3:] / 2.0
+    return (jnp.concatenate([avg, avg], axis=-1),)
+
+
+fix_grad.defvjp(_fix_fwd, _fix_bwd)
+
+
+@jax.custom_vjp
+def quad_grad(x):
+    return x
+
+
+quad_grad.defvjp(lambda x: (x, None), lambda _, g: (4.0 * g,))
+
+
+def softargmax(logprobs: jnp.ndarray, beta: float = 2.0) -> jnp.ndarray:
+    """Differentiable angle index (reference softargmax :20-25):
+    sum(softmax(x * beta) * (1..N)) - 1 over the last axis."""
+    idx = jnp.cumsum(jnp.ones_like(logprobs), axis=-1)
+    soft = jax.nn.softmax(logprobs * beta, axis=-1)
+    return jnp.sum(soft * idx, axis=-1) - 1.0
+
+
+# ---------------------------------------------------------------------------
+# PSP pyramid losses (reference PSP_pool_new :192-217 and :334-356)
+# ---------------------------------------------------------------------------
+def psp_resize(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(C, H, W) -> (C, size, size) bilinear."""
+    return jax.image.resize(x, (x.shape[0], size, size), method="bilinear")
+
+
+def psp_pyramid(x: jnp.ndarray, sizes=(32, 48, 64, 96)):
+    """List of (C, max, max): downsample to s then back up to max."""
+    mx = sizes[-1]
+    return [psp_resize(psp_resize(x, s), mx) for s in sizes]
+
+
+def refine_losses(iter_img: jnp.ndarray, target_img: jnp.ndarray,
+                  sizes=(32, 48, 64, 96)):
+    """iter/target: (70, S, S) render stacks. Returns (depth, semantic)."""
+    # fill null regions of the last depth channel (reference :332)
+    null = jax.lax.stop_gradient(
+        iter_img[41:].sum(axis=0)) < 0.5
+    last = jnp.where(null, 1.0, iter_img[-1])
+    iter_img = jnp.concatenate([iter_img[:-1], last[None]], axis=0)
+
+    depth_in = jnp.concatenate(psp_pyramid(iter_img[41:], sizes), axis=0)
+    depth_tg = jnp.concatenate(psp_pyramid(target_img[41:], sizes), axis=0)
+    depth_loss = jnp.abs(depth_in - depth_tg).mean() * 0.5    # :350
+
+    sem_loss = 0.0
+    labels_in = psp_pyramid(iter_img[1:41], sizes)
+    labels_tg = psp_pyramid(target_img[1:41], sizes)
+    for li, lt in zip(labels_in, labels_tg):
+        tgt = jnp.argmax(lt, axis=0)                          # (m, m)
+        ignore = lt.sum(axis=0) < 0.5                         # :344
+        logp = jax.nn.log_softmax(li, axis=0)
+        picked = jnp.take_along_axis(logp, tgt[None], axis=0)[0]
+        n = jnp.maximum((~ignore).sum(), 1)
+        sem_loss = sem_loss + (-(picked * ~ignore).sum() / n) / 800.0  # :349
+    return depth_loss, sem_loss
+
+
+# ---------------------------------------------------------------------------
+# the jitted refinement step
+# ---------------------------------------------------------------------------
+class RefineState(NamedTuple):
+    z: jnp.ndarray
+    params: dict
+    opt_state: tuple
+    step: jnp.ndarray
+
+
+def make_refine_step(model, batch_stats, batch: SceneBatch, model_idx,
+                     bank: scene_lib.DeviceBank, target_img, size_targets,
+                     room_row_gt, cfg: Config):
+    """batch: single-scene (B=1) SceneBatch; target_img: (70, S, S)."""
+    from sln_tpu.models.vae import Sg2ScVAE
+
+    rcfg = cfg.render
+    ref = cfg.refine
+    O = batch.max_objects
+    room_mask1 = batch.room_mask[0]                      # (O,)
+    renderable = (jnp.asarray(scene_lib.OBJ_RENDERABLE)[batch.objs[0]]
+                  & batch.obj_mask[0] & ~room_mask1)
+    angles_gt_f = batch.angles.astype(jnp.float32)
+
+    tx = optax.multi_transform(
+        {"z": optax.sgd(ref.lr_z, momentum=ref.momentum,
+                        nesterov=ref.nesterov),
+         "params": optax.sgd(cfg.train.learning_rate * ref.lr_model_scale,
+                             momentum=ref.momentum, nesterov=ref.nesterov)},
+        ("z", "params"))
+
+    def forward(z, params, key):
+        variables = {"params": params, "batch_stats": batch_stats}
+        boxes_pred, angle_lp = model.apply(variables, z, batch, False,
+                                           method=Sg2ScVAE.decode)
+        boxes_pred = fix_grad(boxes_pred)                # hook :288
+        # clamp the room row to GT (:291) — also kills its gradient
+        boxes_pred = jnp.where(room_mask1[None, :, None], room_row_gt,
+                               boxes_pred)
+        ang = softargmax(angle_lp, ref.softargmax_beta)
+        ang = ang + jax.random.normal(key, ang.shape) * ref.angle_noise_scale
+        ang = quad_grad(ang)                              # hook :297
+        ang = jnp.where(room_mask1[None], angles_gt_f, ang)   # :298
+
+        img = scene_lib.render_layout(
+            batch.objs[0], boxes_pred[0], ang[0], batch.obj_mask[0],
+            model_idx, bank, rcfg)
+
+        depth_loss, sem_loss = refine_losses(img, target_img,
+                                             ref.pyramid_sizes)
+
+        # size drift (diff_render.py:96-98,163-164)
+        room_dims = room_row_gt[0, 0, 3:]
+        abs_size = ((boxes_pred[0, :, 3:] - boxes_pred[0, :, :3])
+                    * room_dims[None])
+        # sum over objects of per-object MSE (mean over the 3 size dims),
+        # matching the reference's accumulated nn.functional.mse_loss
+        size_loss = (jnp.square(abs_size - size_targets)
+                     * renderable[:, None]).sum() / 3.0
+        wall_drift = jnp.square(boxes_pred[0] - room_row_gt[0, 0]
+                                ).mean(where=jnp.broadcast_to(
+                                    room_mask1[:, None],
+                                    boxes_pred[0].shape))
+        size_total = size_loss + wall_drift
+
+        total = depth_loss * 100.0 + sem_loss * 100.0 + size_total * 2.0
+        aux = {"depth_loss": depth_loss, "semantic_loss": sem_loss,
+               "size_loss": size_total, "total": total}
+        return total, (aux, img, boxes_pred, ang)
+
+    @jax.jit
+    def step(state: RefineState, key):
+        (total, (aux, img, boxes_pred, ang)), grads = jax.value_and_grad(
+            forward, argnums=(0, 1), has_aux=True)(
+            state.z, state.params, key)
+        updates, opt_state = tx.update((grads[0], grads[1]),
+                                       state.opt_state,
+                                       (state.z, state.params))
+        new_z, new_params = optax.apply_updates((state.z, state.params),
+                                                updates)
+        return (RefineState(new_z, new_params, opt_state, state.step + 1),
+                aux, img, boxes_pred, ang)
+
+    return tx, step, forward
+
+
+# ---------------------------------------------------------------------------
+# full workload
+# ---------------------------------------------------------------------------
+def _single_scene_batch(val_arrays, size_info, cfg, room_id) -> SceneBatch:
+    ids = val_arrays["room_ids"]
+    matches = np.where(ids == int(room_id))[0]
+    if len(matches) == 0:
+        print("Get by room id failed! Defaulting to 0.")
+        idx = 0
+    else:
+        idx = int(matches[0])
+    sel = np.array([idx])
+    return build_graphs(
+        jax.random.PRNGKey(0),
+        jnp.asarray(val_arrays["objs"][sel]),
+        jnp.asarray(val_arrays["boxes"][sel]),
+        jnp.asarray(val_arrays["angles"][sel]),
+        jnp.asarray(val_arrays["obj_mask"][sel]),
+        jnp.asarray(val_arrays["room_ids"][sel]), size_info,
+        max_on_rels=cfg.data.max_on_rels,
+        use_attr_30=cfg.data.use_attr_30)
+
+
+def save_channel_images(img: np.ndarray, folder: str, prefix: str) -> None:
+    """Depth PNG (+ optional class masks) like save_images (:144-163)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(folder, exist_ok=True)
+    depth = img[0].copy()
+    depth = depth - depth.min()
+    finite_max = depth[depth < 10.0].max() if (depth < 10.0).any() else 1.0
+    depth = np.clip(depth, 0, finite_max) / max(finite_max, 1e-6)
+    plt.imsave(os.path.join(folder, f"{prefix}_depth.png"), depth,
+               cmap="gray")
+
+
+def finetune_rooms(model, variables, val_arrays, size_info: SizeInfo,
+                   cfg: Config, room_ids, save_dirs,
+                   num_iters: int = None, subdiv: int = None) -> dict:
+    """Reference finetune_VAE (:243-377). Returns per-room loss history."""
+    from sln_tpu.models.vae import Sg2ScVAE
+    from sln_tpu.models.vae import reparameterize
+
+    ref = cfg.refine
+    num_iters = num_iters or ref.num_iters
+    bank_host = assets.build_procedural_bank(
+        subdiv or cfg.render.mesh_subdiv)
+    bank = scene_lib.device_bank(bank_host, cfg.render.shell_subdiv)
+    history = {}
+
+    for room_id, save_dir in zip(room_ids, save_dirs):
+        os.makedirs(save_dir, exist_ok=True)
+        batch = _single_scene_batch(val_arrays, size_info, cfg, room_id)
+
+        # z0 from the GT posterior, fixed seed (reference :273-284, seed 13)
+        mu, logvar = model.apply(variables, batch, False,
+                                 method=Sg2ScVAE.encode)
+        z0 = reparameterize(jax.random.PRNGKey(ref.seed), mu, logvar)
+        with open(os.path.join(save_dir, "z_value.pkl"), "wb") as f:
+            pickle.dump(np.asarray(z0), f)
+
+        room_row_gt = (batch.boxes * batch.room_mask[..., None]
+                       ).sum(axis=1, keepdims=True)           # (1, 1, 6)
+        room_dims = np.asarray(room_row_gt)[0, 0, 3:]
+
+        # target render from GT (reference :317-321)
+        gt_angles = batch.angles.astype(jnp.float32)
+        abs_gt = np.asarray(batch.boxes[0]) * np.concatenate(
+            [room_dims, room_dims])[None]
+        model_idx_gt = assets.retrieve_models(
+            batch.objs[0], jnp.asarray(abs_gt), bank_host)
+        target_img = scene_lib.render_layout(
+            batch.objs[0], batch.boxes[0], gt_angles[0], batch.obj_mask[0],
+            model_idx_gt, bank, cfg.render)
+        save_channel_images(np.asarray(target_img), save_dir, "target")
+
+        # iteration-0 retrieval + size cache from the PREDICTED layout
+        boxes0, _ = model.apply(variables, z0, batch, False,
+                                method=Sg2ScVAE.decode)
+        boxes0 = jnp.where(batch.room_mask[..., None], room_row_gt, boxes0)
+        abs0 = np.asarray(boxes0[0]) * np.concatenate(
+            [room_dims, room_dims])[None]
+        model_idx = assets.retrieve_models(batch.objs[0], jnp.asarray(abs0),
+                                           bank_host)
+        size_targets = jnp.asarray(abs0[:, 3:] - abs0[:, :3])
+
+        tx, step, _ = make_refine_step(
+            model, variables.get("batch_stats", {}), batch, model_idx, bank,
+            target_img, size_targets, room_row_gt, cfg)
+        params = variables["params"]
+        opt_state = tx.init((z0, params))
+        state = RefineState(z0, params, opt_state, jnp.zeros((), jnp.int32))
+
+        key = jax.random.PRNGKey(ref.seed + 1)
+        losses = []
+        for k in range(num_iters):
+            state, aux, img, boxes_pred, ang = step(
+                state, jax.random.fold_in(key, k))
+            losses.append({kk: float(v) for kk, v in aux.items()})
+            if k in (0, num_iters - 1):
+                img_np = np.asarray(img)
+                save_channel_images(img_np, save_dir, str(k).zfill(3))
+                with open(os.path.join(save_dir,
+                                       f"bbox_rot_{k}.pkl"), "wb") as f:
+                    pickle.dump([room_id,
+                                 np.asarray(boxes_pred[0]),
+                                 np.asarray(ang[0]),
+                                 np.asarray(size_targets),
+                                 np.asarray(model_idx)], f)
+        with open(os.path.join(save_dir, "bbox_rot_gt.pkl"), "wb") as f:
+            pickle.dump([room_id, np.asarray(batch.boxes[0]),
+                         np.asarray(gt_angles[0])], f)
+        history[room_id] = losses
+        print(f"room {room_id}: loss {losses[0]['total']:.4f} -> "
+              f"{losses[-1]['total']:.4f}")
+    return history
