@@ -158,6 +158,7 @@ class RenderConfig:
     num_classes: int = 41             # 1 empty + 40 NYU classes
     mesh_subdiv: int = 2              # procedural bank subdivision
     shell_subdiv: int = 4             # room-shell subdivision
+    backend: str = "auto"             # 'auto' | 'pallas' | 'jax'
 
 
 @dataclass(frozen=True)
@@ -176,6 +177,11 @@ class RefineConfig:
     depth_loss_weight: float = 100.0 * 0.5              # :350-352
     semantic_loss_weight: float = 100.0 / 800.0         # :349-352
     size_loss_weight: float = 2.0                        # :354
+    # TPU-first: the PSP loss pyramid tops out at 96x96, so refinement
+    # renders at 96px by default (7x fewer pixels than the reference's
+    # 256 with no loss-relevant information lost); set 256 for strict
+    # reference parity.
+    render_size: int = 96
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,388 @@
+"""Pallas TPU kernel for the soft rasterizer (forward + hand-written VJP).
+
+Semantics identical to sln_tpu.render.rasterizer.soft_rasterize (the
+pure-JAX flash formulation); this is the production TPU path. Design:
+
+* faces are packed into a (16, F) constant matrix `fdata` (edge-function
+  coefficients, inverse edge lengths, winding sign, inverse vertex depths)
+  with invalid faces encoded as "infinitely outside" (edge offset -1e9) so
+  no validity lane is needed;
+* grid = pixel tiles (PT sublanes); the kernel streams face chunks (FC
+  lanes) from VMEM-resident face data, maintaining per-pixel online-softmax
+  accumulators (m, s, sum w*z, sum log(1-cov)) plus a (PT, C) class
+  accumulator updated with a (PT, FC) @ (FC, C) MXU matmul;
+* the backward kernel replays the geometry per chunk (no O(P*F) residuals:
+  only (P, 4) softmax stats are saved), computes the softmax/compositing
+  VJP in closed form, and accumulates face-constant gradients into a
+  VMEM-resident (16, F) block across the sequential grid;
+* gradients w.r.t. projected vertices / depths flow through the pure-JAX
+  `pack_faces` around the custom_vjp core.
+
+Replaces the reference's neural_renderer CUDA extension
+(models/diff_render.py:359-431) — one pass for depth + all class maps
+instead of ~37 sequential renders.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sln_tpu.render.rasterizer import FaceGeometry
+
+# fdata row layout
+R_NX = 0    # 0-2: edge normal x
+R_NY = 3    # 3-5: edge normal y
+R_C = 6     # 6-8: edge offset
+R_IL = 9    # 9-11: inverse edge length
+R_SIGN = 12
+R_IZ = 13   # 13-15: inverse vertex depth
+
+FAR_C = -1e9
+PT = 512     # pixels per tile (sublanes)
+FC = 128     # faces per chunk (lanes)
+
+
+def pack_faces(geom: FaceGeometry, num_classes: int
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """FaceGeometry -> (fdata (16, Fp), onehot (Fp, C)), Fp padded to FC."""
+    F = geom.v2d.shape[0]
+    Fp = ((F + FC - 1) // FC) * FC
+    v = geom.valid
+
+    def sel(x, repl):
+        return jnp.where(v[None, :], x, repl)
+
+    fdata = jnp.concatenate([
+        sel(geom.edge_nx.T, 0.0),
+        sel(geom.edge_ny.T, 0.0),
+        sel(geom.edge_c.T, FAR_C),
+        sel(geom.inv_len.T, 1.0),
+        sel(geom.area_sign[None, :], 1.0),
+        sel(geom.inv_z.T, 1.0),
+    ], axis=0)                                    # (16, F)
+    pad_col = jnp.tile(jnp.asarray(
+        [0.0] * 3 + [0.0] * 3 + [FAR_C] * 3 + [1.0] * 3 + [1.0]
+        + [1.0] * 3, jnp.float32)[:, None], (1, Fp - F))
+    fdata = jnp.concatenate([fdata, pad_col], axis=1)
+
+    onehot = jax.nn.one_hot(geom.face_class, num_classes, dtype=jnp.float32)
+    onehot = jnp.where(v[:, None], onehot, 0.0)
+    onehot = jnp.concatenate(
+        [onehot, jnp.zeros((Fp - F, num_classes), jnp.float32)], axis=0)
+    return fdata, onehot
+
+
+def _chunk_geometry(fd, px, py, sigma, gamma):
+    """fd: (16, FC) chunk; px/py: (PT, 1). Returns per-(pixel, face) terms.
+
+    All outputs (PT, FC): d, zbuf, logit pieces and the lam-hat weights
+    needed by the backward pass.
+    """
+    e0 = fd[R_NX + 0:R_NX + 1] * px + fd[R_NY + 0:R_NY + 1] * py \
+        + fd[R_C + 0:R_C + 1]
+    e1 = fd[R_NX + 1:R_NX + 2] * px + fd[R_NY + 1:R_NY + 2] * py \
+        + fd[R_C + 1:R_C + 2]
+    e2 = fd[R_NX + 2:R_NX + 3] * px + fd[R_NY + 2:R_NY + 3] * py \
+        + fd[R_C + 2:R_C + 3]
+    sign = fd[R_SIGN:R_SIGN + 1]
+    s0 = e0 * fd[R_IL + 0:R_IL + 1] * sign
+    s1 = e1 * fd[R_IL + 1:R_IL + 2] * sign
+    s2 = e2 * fd[R_IL + 2:R_IL + 3] * sign
+    d = jnp.minimum(jnp.minimum(s0, s1), s2)
+
+    T = e0 + e1 + e2
+    Tn = jnp.where(jnp.abs(T) > 1e-12, T, 1.0)
+    l0, l1, l2 = e1 / Tn, e2 / Tn, e0 / Tn      # lam_k = e_{k+1} / T
+    c0 = jnp.clip(l0, 0.0, 1.0)
+    c1 = jnp.clip(l1, 0.0, 1.0)
+    c2 = jnp.clip(l2, 0.0, 1.0)
+    n = jnp.maximum(c0 + c1 + c2, 1e-12)
+    h0, h1, h2 = c0 / n, c1 / n, c2 / n
+    zinv = (h0 * fd[R_IZ + 0:R_IZ + 1] + h1 * fd[R_IZ + 1:R_IZ + 2]
+            + h2 * fd[R_IZ + 2:R_IZ + 3])
+    zbuf = 1.0 / jnp.maximum(zinv, 1e-12)
+
+    logit = jax.nn.log_sigmoid(d / sigma) - zbuf / gamma
+    lomc = jax.nn.log_sigmoid(-d / sigma)
+    return (e0, e1, e2, s0, s1, s2, d, Tn, (l0, l1, l2), (c0, c1, c2), n,
+            (h0, h1, h2), zinv, zbuf, logit, lomc)
+
+
+def _pixel_coords(tile_idx, image_size):
+    p = tile_idx * PT + jax.lax.broadcasted_iota(jnp.int32, (PT, 1), 0)
+    px = (p % image_size).astype(jnp.float32) + 0.5
+    py = (p // image_size).astype(jnp.float32) + 0.5
+    return px, py
+
+
+def _fwd_kernel(fdata_ref, onehot_ref, depth_ref, classes_ref, res_ref,
+                *, image_size, sigma, gamma, z_far, num_chunks):
+    t = pl.program_id(0)
+    px, py = _pixel_coords(t, image_size)
+
+    def body(k, carry):
+        m, s, az, ac, alt = carry
+        f0 = pl.multiple_of(k * FC, FC)
+        fd = fdata_ref[:, pl.ds(f0, FC)]
+        oh = onehot_ref[pl.ds(f0, FC), :]
+        (*_, zbuf, logit, lomc) = _chunk_geometry(fd, px, py, sigma, gamma)
+        mc = jnp.max(logit, axis=1, keepdims=True)
+        m_new = jnp.maximum(m, mc)
+        scale = jnp.exp(m - m_new)
+        w = jnp.exp(logit - m_new)
+        s = s * scale + jnp.sum(w, axis=1, keepdims=True)
+        az = az * scale + jnp.sum(w * zbuf, axis=1, keepdims=True)
+        ac = ac * scale + jnp.dot(w, oh, preferred_element_type=jnp.float32)
+        alt = alt + jnp.sum(lomc, axis=1, keepdims=True)
+        return (m_new, s, az, ac, alt)
+
+    C = classes_ref.shape[1]
+    init = (jnp.full((PT, 1), -1e30, jnp.float32),
+            jnp.zeros((PT, 1), jnp.float32),
+            jnp.zeros((PT, 1), jnp.float32),
+            jnp.zeros((PT, C), jnp.float32),
+            jnp.zeros((PT, 1), jnp.float32))
+    m, s, az, ac, alt = jax.lax.fori_loop(0, num_chunks, body, init)
+
+    denom = jnp.maximum(s, 1e-30)
+    alpha = 1.0 - jnp.exp(alt)
+    depth_ref[:, :] = alpha * az / denom + (1.0 - alpha) * z_far
+    classes_ref[:, :] = alpha * (ac / denom)
+    res_ref[:, 0:1] = m
+    res_ref[:, 1:2] = s
+    res_ref[:, 2:3] = az
+    res_ref[:, 3:4] = alt
+
+
+def _bwd_kernel(fdata_ref, onehot_ref, res_ref, classes_ref, gd_ref,
+                gc_ref, fgrad_ref, *, image_size, sigma, gamma, z_far,
+                num_chunks):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        fgrad_ref[:, :] = jnp.zeros_like(fgrad_ref)
+
+    px, py = _pixel_coords(t, image_size)
+    m = res_ref[:, 0:1]
+    s = jnp.maximum(res_ref[:, 1:2], 1e-30)
+    az = res_ref[:, 2:3]
+    alt = res_ref[:, 3:4]
+    gd = gd_ref[:, :]                     # (PT, 1)
+    gC = gc_ref[:, :]                     # (PT, C)
+
+    alpha = 1.0 - jnp.exp(alt)
+    D = az / s
+    Dbar = gd * alpha
+    # recover the face class aggregate C_c = ac/s from the forward output
+    # classes = alpha * ac/s (saves a full geometry replay pass)
+    Cc = jnp.where(alpha > 1e-12, classes_ref[:, :] / jnp.maximum(
+        alpha, 1e-12), 0.0)
+
+    Cbar = gC * alpha                                       # (PT, C)
+    abar = gd * (D - z_far) + jnp.sum(gC * Cc, axis=1, keepdims=True)
+    LTbar = abar * (alpha - 1.0)                            # d/d alt
+    beta = Dbar * D + jnp.sum(Cbar * Cc, axis=1, keepdims=True)
+
+    inv_sigma = 1.0 / sigma
+    inv_gamma = 1.0 / gamma
+
+    def body(k, _):
+        f0 = pl.multiple_of(k * FC, FC)
+        fd = fdata_ref[:, pl.ds(f0, FC)]
+        oh = onehot_ref[pl.ds(f0, FC), :]
+        (e0, e1, e2, s0, s1, s2, d, Tn, (l0, l1, l2), (c0, c1, c2), n,
+         (h0, h1, h2), zinv, zbuf, logit, lomc) = _chunk_geometry(
+            fd, px, py, sigma, gamma)
+        w = jnp.exp(logit - m) / s                          # (PT, FC)
+
+        wbar = Dbar * zbuf + jax.lax.dot_general(
+            Cbar, oh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        lbar = w * (wbar - beta)
+        zbufbar = Dbar * w - lbar * inv_gamma
+        sig_d = jax.nn.sigmoid(d * inv_sigma)
+        dbar = (lbar * (1.0 - sig_d) - LTbar * sig_d) * inv_sigma
+
+        # zbuf = 1/max(zinv, eps)
+        zinv_ok = zinv > 1e-12
+        zinvbar = jnp.where(zinv_ok, -zbufbar * zbuf * zbuf, 0.0)
+
+        # zinv = sum h_k * iz_k
+        izbar0 = zinvbar * h0
+        izbar1 = zinvbar * h1
+        izbar2 = zinvbar * h2
+        hbar0 = zinvbar * fd[R_IZ + 0:R_IZ + 1]
+        hbar1 = zinvbar * fd[R_IZ + 1:R_IZ + 2]
+        hbar2 = zinvbar * fd[R_IZ + 2:R_IZ + 3]
+
+        # h = c / n, n = sum c
+        hdot = hbar0 * h0 + hbar1 * h1 + hbar2 * h2
+        cbar0 = (hbar0 - hdot) / n
+        cbar1 = (hbar1 - hdot) / n
+        cbar2 = (hbar2 - hdot) / n
+        # c = clip(l, 0, 1)
+        lbar0 = jnp.where((l0 > 0.0) & (l0 < 1.0), cbar0, 0.0)
+        lbar1 = jnp.where((l1 > 0.0) & (l1 < 1.0), cbar1, 0.0)
+        lbar2 = jnp.where((l2 > 0.0) & (l2 < 1.0), cbar2, 0.0)
+        # lam_k = e_{k+1} / Tn ; T = e0+e1+e2
+        erbar0 = lbar0 / Tn      # -> e1
+        erbar1 = lbar1 / Tn      # -> e2
+        erbar2 = lbar2 / Tn      # -> e0
+        Tbar = -(lbar0 * l0 + lbar1 * l1 + lbar2 * l2) / Tn
+
+        # d = min_k s_k: route dbar to the argmin (ties split evenly)
+        m0 = (s0 <= d).astype(jnp.float32)
+        m1 = (s1 <= d).astype(jnp.float32)
+        m2 = (s2 <= d).astype(jnp.float32)
+        msum = jnp.maximum(m0 + m1 + m2, 1.0)
+        sign = fd[R_SIGN:R_SIGN + 1]
+        sbar0 = dbar * m0 / msum
+        sbar1 = dbar * m1 / msum
+        sbar2 = dbar * m2 / msum
+        il0 = fd[R_IL + 0:R_IL + 1]
+        il1 = fd[R_IL + 1:R_IL + 2]
+        il2 = fd[R_IL + 2:R_IL + 3]
+        ilbar0 = sbar0 * e0 * sign
+        ilbar1 = sbar1 * e1 * sign
+        ilbar2 = sbar2 * e2 * sign
+
+        ebar0 = sbar0 * il0 * sign + erbar2 + Tbar
+        ebar1 = sbar1 * il1 * sign + erbar0 + Tbar
+        ebar2 = sbar2 * il2 * sign + erbar1 + Tbar
+
+        # e_k = nx_k px + ny_k py + c_k : reduce over pixels
+        def col(x):
+            return jnp.sum(x, axis=0, keepdims=True)       # (1, FC)
+
+        for r, eb in ((0, ebar0), (1, ebar1), (2, ebar2)):
+            fgrad_ref[R_NX + r:R_NX + r + 1, pl.ds(f0, FC)] += col(eb * px)
+            fgrad_ref[R_NY + r:R_NY + r + 1, pl.ds(f0, FC)] += col(eb * py)
+            fgrad_ref[R_C + r:R_C + r + 1, pl.ds(f0, FC)] += col(eb)
+        fgrad_ref[R_IL + 0:R_IL + 1, pl.ds(f0, FC)] += col(ilbar0)
+        fgrad_ref[R_IL + 1:R_IL + 2, pl.ds(f0, FC)] += col(ilbar1)
+        fgrad_ref[R_IL + 2:R_IL + 3, pl.ds(f0, FC)] += col(ilbar2)
+        fgrad_ref[R_IZ + 0:R_IZ + 1, pl.ds(f0, FC)] += col(izbar0)
+        fgrad_ref[R_IZ + 1:R_IZ + 2, pl.ds(f0, FC)] += col(izbar1)
+        fgrad_ref[R_IZ + 2:R_IZ + 3, pl.ds(f0, FC)] += col(izbar2)
+        return 0
+
+    jax.lax.fori_loop(0, num_chunks, body, 0)
+
+
+def _is_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def rasterize_core(fdata, onehot, num_classes, image_size, sigma, gamma,
+                   z_far):
+    out = _core_fwd_impl(fdata, onehot, num_classes, image_size, sigma,
+                         gamma, z_far)
+    return out[0], out[1]
+
+
+def _core_fwd_impl(fdata, onehot, num_classes, image_size, sigma, gamma,
+                   z_far):
+    P = image_size * image_size
+    Fp = fdata.shape[1]
+    num_chunks = Fp // FC
+    grid = (P // PT,)
+    interpret = not _is_tpu()
+    kernel = functools.partial(
+        _fwd_kernel, image_size=image_size, sigma=sigma, gamma=gamma,
+        z_far=z_far, num_chunks=num_chunks)
+    depth, classes, res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((16, Fp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Fp, num_classes), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((PT, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PT, num_classes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PT, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((P, num_classes), jnp.float32),
+            jax.ShapeDtypeStruct((P, 4), jnp.float32),
+        ],
+        interpret=interpret,
+    )(fdata, onehot)
+    return depth, classes, res
+
+
+def _core_fwd(fdata, onehot, num_classes, image_size, sigma, gamma, z_far):
+    depth, classes, res = _core_fwd_impl(fdata, onehot, num_classes,
+                                         image_size, sigma, gamma, z_far)
+    return (depth, classes), (fdata, onehot, res, classes)
+
+
+def _core_bwd(num_classes, image_size, sigma, gamma, z_far, residuals,
+              gout):
+    fdata, onehot, res, classes = residuals
+    g_depth, g_classes = gout
+    P = image_size * image_size
+    Fp = fdata.shape[1]
+    num_chunks = Fp // FC
+    interpret = not _is_tpu()
+    kernel = functools.partial(
+        _bwd_kernel, image_size=image_size, sigma=sigma, gamma=gamma,
+        z_far=z_far, num_chunks=num_chunks)
+    fgrad = pl.pallas_call(
+        kernel,
+        grid=(P // PT,),
+        in_specs=[
+            pl.BlockSpec((16, Fp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Fp, num_classes), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PT, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PT, num_classes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PT, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PT, num_classes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((16, Fp), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, Fp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(fdata, onehot, res, classes, g_depth, g_classes)
+    return fgrad, jnp.zeros_like(onehot)
+
+
+rasterize_core.defvjp(_core_fwd, _core_bwd)
+
+
+def soft_rasterize_pallas(geom: FaceGeometry, num_classes: int,
+                          image_size: int, sigma: float = 0.5,
+                          gamma: float = 0.02, z_far: float = 100.0
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in replacement for rasterizer.soft_rasterize on TPU."""
+    fdata, onehot = pack_faces(geom, num_classes)
+    depth, classes = rasterize_core(fdata, onehot, num_classes, image_size,
+                                    sigma, gamma, z_far)
+    S = image_size
+    return depth.reshape(S, S), classes.reshape(S, S, num_classes)

@@ -179,9 +179,18 @@ def render_channels(scene: SceneBuffers, room_dims: jnp.ndarray,
 
     geom = face_geometry(tri_v2d, tri_z, valid, scene.face_class,
                          near=cfg.camera.near)
-    depth, classes = soft_rasterize(
-        geom, NUM_RENDER_CLASSES, cfg.camera.image_size,
-        sigma=cfg.sigma_px, gamma=cfg.gamma, z_far=cfg.z_far)
+    use_pallas = cfg.backend == "pallas" or (
+        cfg.backend == "auto"
+        and jax.devices()[0].platform == "tpu")
+    if use_pallas:
+        from sln_tpu.render.rasterizer_pallas import soft_rasterize_pallas
+        depth, classes = soft_rasterize_pallas(
+            geom, NUM_RENDER_CLASSES, cfg.camera.image_size,
+            sigma=cfg.sigma_px, gamma=cfg.gamma, z_far=cfg.z_far)
+    else:
+        depth, classes = soft_rasterize(
+            geom, NUM_RENDER_CLASSES, cfg.camera.image_size,
+            sigma=cfg.sigma_px, gamma=cfg.gamma, z_far=cfg.z_far)
     # classes: (S, S, 32) -> channel-major
     classes = jnp.moveaxis(classes, -1, 0)                     # (32, S, S)
 

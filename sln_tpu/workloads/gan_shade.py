@@ -1,0 +1,180 @@
+"""gan_shade workload: semantic+depth rendering -> SPADE RGB colorization.
+
+The reference pipeline (test.py:79-95) spawns Blender to write per-class
+mask PNGs + EXR depth to disk (render/render_semantic_depth.py), then reads
+them back and runs SPADEGenerator4 with 50 z samples
+(testing/test_SPADE_shade.py:30-80). Here the differentiable rasterizer
+produces exactly the 41-channel stack SPADE consumes, so the whole path is
+two jitted programs with no process boundary or filesystem handoff. A
+file-based loader for existing Blender outputs is kept for parity
+(`spade_input_from_files`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from sln_tpu.config import Config
+from sln_tpu.data.augment import SizeInfo, build_graphs
+from sln_tpu.render import assets, scene as scene_lib
+from sln_tpu.spade.generator import SPADEGenerator4
+
+
+def layout_channels_to_spade_input(channels: np.ndarray) -> np.ndarray:
+    """(70, S, S) render stack -> (S, S, 41) SPADE input.
+
+    Depth is min-max normalized to [-1, 1] like the EXR processing at
+    test_SPADE_shade.py:50-56; masks binarized at 0.5 (the reference
+    thresholds 8-bit PNGs at 120, :70-71).
+    """
+    depth = np.array(channels[0])
+    valid = depth > 0
+    if valid.any():
+        dmin = depth[valid].min()
+        dmax = max(depth[valid].max() - dmin, 1e-6)
+        depth = np.where(valid, (depth - dmin) / dmax, 1.0)
+    depth = depth * 2.0 - 1.0
+    masks = (channels[1:41] > 0.5).astype(np.float32)
+    return np.concatenate([depth[None], masks],
+                          axis=0).transpose(1, 2, 0).astype(np.float32)
+
+
+def spade_input_from_files(semantic_dir: str, room: str = "") -> np.ndarray:
+    """Read Blender-produced EXR depth + mask PNGs (reference
+    test_SPADE_shade.py:44-76). Optional path for external renders."""
+    import imageio.v2 as imageio
+    from sln_tpu.data.vocab import NYU40_CLASSES
+
+    files = [os.path.join(semantic_dir, f)
+             for f in os.listdir(semantic_dir) if room in f]
+    depths = [f for f in files if f.endswith(".exr")]
+    masks = [f for f in files if "depth" not in f and "orig" not in f
+             and not f.endswith(".exr")]
+    depth = imageio.imread(depths[0])[..., 0]
+    depth = depth - depth.min()
+    dmax = depth[depth < 20].max()
+    depth = np.clip(depth, 0, dmax) / dmax
+    depth = (depth - 0.5) * 2.0
+    size = depth.shape[0]
+    buf = np.zeros((40, size, size), np.float32)
+    classes_us = [c.replace(" ", "_") for c in NYU40_CLASSES]
+    for path in masks:
+        stem = os.path.basename(path).split(".")[0]
+        parts = stem.split("_")
+        name = "_".join(parts[3:]) if len(parts) > 3 else parts[-1]
+        if name in classes_us:
+            buf[classes_us.index(name)] = imageio.imread(path)[..., 0]
+    buf = (buf > 120).astype(np.float32)
+    total = np.concatenate([depth[None].astype(np.float32), buf], axis=0)
+    return total.transpose(1, 2, 0)
+
+
+def make_spade_model(cfg: Config, checkpoint_path: Optional[str] = None):
+    """Generator + params (ported reference checkpoint or random init)."""
+    import jax
+
+    sp = cfg.spade
+    model = SPADEGenerator4(semantic_nc=sp.semantic_nc,
+                            target_nc=sp.target_nc, nz=sp.nz, ngf=sp.ngf,
+                            crop_size=sp.crop_size, n_up=sp.n_up)
+    path = checkpoint_path or os.path.join(cfg.train.output_dir,
+                                           "latest_net_G_AB.pth")
+    if os.path.isfile(path):
+        from sln_tpu.spade.port import load_reference_checkpoint
+        params = load_reference_checkpoint(path)
+        print(f"Ported SPADE weights from {path}")
+    else:
+        print(f"WARNING: no SPADE checkpoint at {path}; random init")
+        import jax.numpy as jnp
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, sp.crop_size, sp.crop_size,
+                                       sp.semantic_nc)),
+                            jnp.zeros((1, sp.nz)))["params"]
+    return model, params
+
+
+def colorize(model, params, spade_input: np.ndarray, num_z: int,
+             z_chunk: int = 10, seed: int = 0) -> np.ndarray:
+    """One room's 41-channel input -> (num_z, S, S, 3) RGB in [0, 1]."""
+    import jax
+    import jax.numpy as jnp
+
+    seg = jnp.asarray(spade_input)[None]
+
+    @jax.jit
+    def run(z):
+        seg_b = jnp.broadcast_to(seg, (z.shape[0],) + seg.shape[1:])
+        return model.apply({"params": params}, seg_b, z)
+
+    outs = []
+    key = jax.random.PRNGKey(seed)
+    done = 0
+    while done < num_z:
+        n = min(z_chunk, num_z - done)
+        z = jax.random.normal(jax.random.fold_in(key, done),
+                              (z_chunk, model.nz))
+        outs.append(np.asarray(run(z))[:n])
+        done += n
+    rgb = np.concatenate(outs, axis=0)
+    return (rgb + 1.0) / 2.0
+
+
+def run_gan_shade(vae_model, vae_variables, val_arrays: Dict[str,
+                                                             np.ndarray],
+                  size_info: SizeInfo, cfg: Config, num_z: int,
+                  save_dir: str, rooms=None,
+                  spade_checkpoint: Optional[str] = None) -> None:
+    """Render selected val rooms with the rasterizer, colorize with SPADE,
+    save `<room>_<k>_color.png` like save_color (test_SPADE_shade.py:16-27).
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(save_dir, exist_ok=True)
+    rcfg = dataclasses.replace(
+        cfg.render, camera=dataclasses.replace(cfg.render.camera,
+                                               image_size=cfg.spade.crop_size))
+    bank_host = assets.build_procedural_bank(cfg.render.mesh_subdiv)
+    bank = scene_lib.device_bank(bank_host, cfg.render.shell_subdiv)
+    model, params = make_spade_model(cfg, spade_checkpoint)
+
+    ids = val_arrays["room_ids"]
+    if rooms is None or rooms == "all":
+        sel = list(range(min(len(ids), 4)))
+    else:
+        sel = [int(np.where(ids == int(r))[0][0]) for r in rooms]
+
+    for idx in sel:
+        room_id = int(ids[idx])
+        batch = build_graphs(
+            jax.random.PRNGKey(0),
+            jnp.asarray(val_arrays["objs"][idx:idx + 1]),
+            jnp.asarray(val_arrays["boxes"][idx:idx + 1]),
+            jnp.asarray(val_arrays["angles"][idx:idx + 1]),
+            jnp.asarray(val_arrays["obj_mask"][idx:idx + 1]),
+            jnp.asarray(val_arrays["room_ids"][idx:idx + 1]), size_info,
+            max_on_rels=cfg.data.max_on_rels)
+        room_dims = np.asarray(batch.room_boxes())[0, 3:]
+        abs_boxes = np.asarray(batch.boxes[0]) * np.concatenate(
+            [room_dims, room_dims])[None]
+        midx = assets.retrieve_models(batch.objs[0], jnp.asarray(abs_boxes),
+                                      bank_host)
+        channels = scene_lib.render_layout(
+            batch.objs[0], batch.boxes[0],
+            batch.angles[0].astype(jnp.float32), batch.obj_mask[0], midx,
+            bank, rcfg)
+        spade_in = layout_channels_to_spade_input(np.asarray(channels))
+        rgb = colorize(model, params, spade_in, num_z)
+        for k in range(num_z):
+            plt.imsave(os.path.join(
+                save_dir, f"{room_id}_{str(k).zfill(3)}_color.png"),
+                np.clip(rgb[k], 0, 1))
+        print(f"room {room_id}: wrote {num_z} colorizations")

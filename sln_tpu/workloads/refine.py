@@ -122,10 +122,14 @@ def make_refine_step(model, batch_stats, batch: SceneBatch, model_idx,
                      bank: scene_lib.DeviceBank, target_img, size_targets,
                      room_row_gt, cfg: Config):
     """batch: single-scene (B=1) SceneBatch; target_img: (70, S, S)."""
+    import dataclasses
+
     from sln_tpu.models.vae import Sg2ScVAE
 
-    rcfg = cfg.render
     ref = cfg.refine
+    rcfg = dataclasses.replace(
+        cfg.render, camera=dataclasses.replace(
+            cfg.render.camera, image_size=ref.render_size))
     O = batch.max_objects
     room_mask1 = batch.room_mask[0]                      # (O,)
     renderable = (jnp.asarray(scene_lib.OBJ_RENDERABLE)[batch.objs[0]]
@@ -178,8 +182,7 @@ def make_refine_step(model, batch_stats, batch: SceneBatch, model_idx,
                "size_loss": size_total, "total": total}
         return total, (aux, img, boxes_pred, ang)
 
-    @jax.jit
-    def step(state: RefineState, key):
+    def _step_inner(state: RefineState, key):
         (total, (aux, img, boxes_pred, ang)), grads = jax.value_and_grad(
             forward, argnums=(0, 1), has_aux=True)(
             state.z, state.params, key)
@@ -189,9 +192,23 @@ def make_refine_step(model, batch_stats, batch: SceneBatch, model_idx,
         new_z, new_params = optax.apply_updates((state.z, state.params),
                                                 updates)
         return (RefineState(new_z, new_params, opt_state, state.step + 1),
-                aux, img, boxes_pred, ang)
+                aux)
 
-    return tx, step, forward
+    step = jax.jit(_step_inner)
+
+    @jax.jit
+    def run_scan(state: RefineState, keys):
+        """All iterations in ONE device program (keys: (N, key)); returns
+        (final state, stacked per-iter loss dict)."""
+        return jax.lax.scan(_step_inner, state, keys)
+
+    @jax.jit
+    def snapshot(state: RefineState, key):
+        """Full render + layout for artifact dumps (not in the hot loop)."""
+        _, (aux, img, boxes_pred, ang) = forward(state.z, state.params, key)
+        return aux, img, boxes_pred, ang
+
+    return tx, step, snapshot, run_scan
 
 
 # ---------------------------------------------------------------------------
@@ -236,11 +253,16 @@ def finetune_rooms(model, variables, val_arrays, size_info: SizeInfo,
                    cfg: Config, room_ids, save_dirs,
                    num_iters: int = None, subdiv: int = None) -> dict:
     """Reference finetune_VAE (:243-377). Returns per-room loss history."""
+    import dataclasses
+
     from sln_tpu.models.vae import Sg2ScVAE
     from sln_tpu.models.vae import reparameterize
 
     ref = cfg.refine
     num_iters = num_iters or ref.num_iters
+    rcfg = dataclasses.replace(
+        cfg.render, camera=dataclasses.replace(
+            cfg.render.camera, image_size=ref.render_size))
     bank_host = assets.build_procedural_bank(
         subdiv or cfg.render.mesh_subdiv)
     bank = scene_lib.device_bank(bank_host, cfg.render.shell_subdiv)
@@ -269,7 +291,7 @@ def finetune_rooms(model, variables, val_arrays, size_info: SizeInfo,
             batch.objs[0], jnp.asarray(abs_gt), bank_host)
         target_img = scene_lib.render_layout(
             batch.objs[0], batch.boxes[0], gt_angles[0], batch.obj_mask[0],
-            model_idx_gt, bank, cfg.render)
+            model_idx_gt, bank, rcfg)
         save_channel_images(np.asarray(target_img), save_dir, "target")
 
         # iteration-0 retrieval + size cache from the PREDICTED layout
@@ -282,29 +304,32 @@ def finetune_rooms(model, variables, val_arrays, size_info: SizeInfo,
                                            bank_host)
         size_targets = jnp.asarray(abs0[:, 3:] - abs0[:, :3])
 
-        tx, step, _ = make_refine_step(
+        tx, step, snapshot, run_scan = make_refine_step(
             model, variables.get("batch_stats", {}), batch, model_idx, bank,
             target_img, size_targets, room_row_gt, cfg)
         params = variables["params"]
         opt_state = tx.init((z0, params))
         state = RefineState(z0, params, opt_state, jnp.zeros((), jnp.int32))
 
-        key = jax.random.PRNGKey(ref.seed + 1)
-        losses = []
-        for k in range(num_iters):
-            state, aux, img, boxes_pred, ang = step(
-                state, jax.random.fold_in(key, k))
-            losses.append({kk: float(v) for kk, v in aux.items()})
-            if k in (0, num_iters - 1):
-                img_np = np.asarray(img)
-                save_channel_images(img_np, save_dir, str(k).zfill(3))
-                with open(os.path.join(save_dir,
-                                       f"bbox_rot_{k}.pkl"), "wb") as f:
-                    pickle.dump([room_id,
-                                 np.asarray(boxes_pred[0]),
-                                 np.asarray(ang[0]),
-                                 np.asarray(size_targets),
-                                 np.asarray(model_idx)], f)
+        keys = jax.random.split(jax.random.PRNGKey(ref.seed + 1), num_iters)
+
+        def dump(state, k):
+            _, img, boxes_pred, ang = snapshot(state, keys[min(
+                k, num_iters - 1)])
+            save_channel_images(np.asarray(img), save_dir, str(k).zfill(3))
+            with open(os.path.join(save_dir, f"bbox_rot_{k}.pkl"),
+                      "wb") as f:
+                pickle.dump([room_id, np.asarray(boxes_pred[0]),
+                             np.asarray(ang[0]), np.asarray(size_targets),
+                             np.asarray(model_idx)], f)
+
+        dump(state, 0)
+        # all optimization iterations run as ONE device program
+        state, aux_stacked = run_scan(state, keys)
+        aux_stacked = {k: np.asarray(v) for k, v in aux_stacked.items()}
+        losses = [{k: float(v[i]) for k, v in aux_stacked.items()}
+                  for i in range(num_iters)]
+        dump(state, num_iters - 1)
         with open(os.path.join(save_dir, "bbox_rot_gt.pkl"), "wb") as f:
             pickle.dump([room_id, np.asarray(batch.boxes[0]),
                          np.asarray(gt_angles[0])], f)

@@ -125,11 +125,13 @@ def test_direct_box_optimization_converges():
 
 
 def test_refine_loop_runs_and_writes_artifacts(tmp_path):
+    import dataclasses
     cfg = default_config()
     cfg = cfg.replace(
         data=DataConfig(max_objects=12, max_triples=36, max_on_rels=12),
         render=RenderConfig(camera=CameraConfig(image_size=64),
-                            mesh_subdiv=1, shell_subdiv=2))
+                            mesh_subdiv=1, shell_subdiv=2),
+        refine=dataclasses.replace(default_config().refine, render_size=64))
     val_arrays, size_info = common.load_arrays(6, cfg, synthetic_seed=3)
 
     import jax
