@@ -27,6 +27,19 @@ def load_rooms(path: str) -> Dict[str, dict]:
         return json.load(f)
 
 
+def tensorize_file(path: str, max_objects: int) -> Dict[str, np.ndarray]:
+    """Tensorize a room-JSON file, preferring the C++ packer
+    (sln_tpu/cpp/native.cpp pack_rooms_json) over the Python path."""
+    from sln_tpu import native
+
+    with open(path, "r") as f:
+        text = f.read()
+    packed = native.pack_rooms(text, max_objects)
+    if packed is not None:
+        return packed
+    return tensorize_rooms(json.loads(text), max_objects)
+
+
 def tensorize_rooms(data: Dict[str, dict], max_objects: int
                     ) -> Dict[str, np.ndarray]:
     """Pad every room to `max_objects` slots.

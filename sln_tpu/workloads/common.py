@@ -18,9 +18,10 @@ def load_arrays(path_or_synthetic, cfg: Config, synthetic_seed=0):
     if isinstance(path_or_synthetic, int):
         rooms = synthetic.generate_rooms(path_or_synthetic,
                                          seed=synthetic_seed)
+        arrays = tensorize.tensorize_rooms(rooms, cfg.data.max_objects)
     else:
-        rooms = tensorize.load_rooms(path_or_synthetic)
-    arrays = tensorize.tensorize_rooms(rooms, cfg.data.max_objects)
+        arrays = tensorize.tensorize_file(path_or_synthetic,
+                                          cfg.data.max_objects)
     t, m, a = synthetic.default_size_table()
     size_info = SizeInfo(jnp.asarray(t), jnp.asarray(m), jnp.asarray(a))
     return arrays, size_info

@@ -1,0 +1,66 @@
+"""C++ native library: build, remesher, IoU, and the JSON scene packer
+(validated against the Python tensorizer on the same data)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from sln_tpu import native
+from sln_tpu.data import synthetic, tensorize
+
+
+def test_native_builds():
+    assert native.available(), "libsln_native.so failed to build/load"
+
+
+def test_split_long_edges():
+    # one large triangle with 2.0-length edges -> split down to <= 0.5
+    verts = np.array([[0, 0, 0], [2, 0, 0], [0, 2, 0]], np.float32)
+    faces = np.array([[0, 1, 2]], np.int32)
+    v, f = native.split_long_edges(verts, faces, 0.5)
+    assert len(f) > 8
+    # total area preserved
+    tri = v[f]
+    cross = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    area = np.linalg.norm(cross, axis=1).sum() / 2.0
+    np.testing.assert_allclose(area, 2.0, rtol=1e-5)
+    # all edges below threshold
+    for a, b in ((0, 1), (1, 2), (2, 0)):
+        d = np.linalg.norm(tri[:, a] - tri[:, b], axis=1)
+        assert d.max() <= 0.5 + 1e-5
+
+
+def test_cpp_iou_matches_jax():
+    import jax.numpy as jnp
+
+    from sln_tpu.ops import iou as jiou
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        def rand_quad():
+            cx, cz = rng.uniform(0, 3, 2)
+            w, h = rng.uniform(0.3, 2.0, 2)
+            th = rng.uniform(0, np.pi)
+            c, s = np.cos(th), np.sin(th)
+            base = np.array([[-w, -h], [-w, h], [w, h], [w, -h]]) / 2
+            return base @ np.array([[c, -s], [s, c]]) + [cx, cz]
+
+        qa, qb = rand_quad(), rand_quad()
+        got = native.cuboid_iou(qa, (0.0, 1.0), qb, (0.0, 1.2))
+        want = float(jiou.cuboid_iou(jnp.asarray(qa), 0.0, 1.0,
+                                     jnp.asarray(qb), 0.0, 1.2))
+        assert abs(got - want) < 1e-4, (got, want)
+
+
+def test_packer_matches_python_tensorizer():
+    rooms = synthetic.generate_rooms(24, seed=3)
+    text = json.dumps(rooms)
+    got = native.pack_rooms(text, max_objects=16)
+    if got is None:
+        pytest.skip("native library unavailable")
+    want = tensorize.tensorize_rooms(rooms, 16)
+    np.testing.assert_array_equal(got["objs"], want["objs"])
+    np.testing.assert_allclose(got["boxes"], want["boxes"], rtol=1e-6)
+    np.testing.assert_array_equal(got["angles"], want["angles"])
+    np.testing.assert_array_equal(got["obj_mask"], want["obj_mask"])
+    np.testing.assert_array_equal(got["room_ids"], want["room_ids"])
