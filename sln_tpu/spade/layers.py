@@ -56,7 +56,9 @@ def layer_norm_2d(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     mean = flat.mean(axis=1)
     n = flat.shape[1]
     var = flat.var(axis=1) * (n / max(n - 1, 1))        # unbiased
-    std = jnp.sqrt(var)
+    # clamp inside the sqrt: constant inputs (var == 0) would make the
+    # backward pass inf/NaN
+    std = jnp.sqrt(jnp.maximum(var, 1e-12))
     shape = (B, 1, 1, 1)
     return ((x - mean.reshape(shape))
             / (std.reshape(shape) + eps)).astype(x.dtype)
@@ -114,8 +116,8 @@ class SEBlock2(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         y = x.mean(axis=(1, 2))                              # (B, C)
-        y = nn.Dense(self.channels // self.reduction, use_bias=False,
-                     name="fc1")(y)
+        y = nn.Dense(max(self.channels // self.reduction, 1),
+                     use_bias=False, name="fc1")(y)
         y = nn.relu(y)
         y = nn.Dense(self.channels, use_bias=False, name="fc2")(y)
         y = jax.nn.sigmoid(y)

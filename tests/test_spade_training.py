@@ -1,0 +1,76 @@
+"""SPADE training components: discriminators, GAN losses, one GAN step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from sln_tpu.spade.discriminator import (ConvEncoder,
+                                         MultiscaleDiscriminator,
+                                         NLayerDiscriminator)
+from sln_tpu.spade.generator import SPADEGenerator4
+from sln_tpu.spade.losses import (GanState, feature_matching_loss, gan_loss,
+                                  make_gan_train_step)
+
+
+def test_discriminator_shapes():
+    d = MultiscaleDiscriminator(ndf=8, n_layers=3, num_d=2)
+    x = jnp.zeros((2, 64, 64, 44))
+    variables = d.init(jax.random.PRNGKey(0), x, False)
+    outs = d.apply(variables, x, False)
+    assert len(outs) == 2
+    # each subsequent discriminator is one layer shallower (reference :419)
+    assert len(outs[0]) == 4 and len(outs[1]) == 3
+    assert outs[0][-1].shape[0] == 2
+    # second discriminator sees the avg-pooled (half-size) image
+    assert outs[1][0].shape[1] < outs[0][0].shape[1]
+
+
+def test_conv_encoder_shapes():
+    e = ConvEncoder(nef=8, output_nc=32)
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = e.init(jax.random.PRNGKey(0), x, False)
+    mu, logvar = e.apply(variables, x, False)
+    assert mu.shape == (2, 32) and logvar.shape == (2, 32)
+
+
+def test_gan_loss_modes():
+    fake = [[jnp.zeros((1, 4, 4, 1))], [jnp.ones((1, 2, 2, 1))]]
+    for mode in ("hinge", "ls", "original", "w"):
+        for tgt in (True, False):
+            for for_d in (True, False):
+                if mode == "hinge" and not for_d and not tgt:
+                    continue  # generator hinge loss is real-only
+                v = gan_loss(fake, tgt, for_d, mode)
+                assert np.isfinite(float(v))
+
+
+def test_gan_train_step_runs_and_learns():
+    gen = SPADEGenerator4(ngf=8, nz=8, crop_size=32)
+    disc = MultiscaleDiscriminator(ndf=4, n_layers=2, num_d=2)
+    seg = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (2, 32, 32, 41)).astype(np.float32))
+    real = jnp.asarray(np.random.default_rng(1).uniform(
+        -1, 1, (2, 32, 32, 3)).astype(np.float32))
+    z = jax.random.normal(jax.random.PRNGKey(7), (2, 8))
+
+    g_vars = gen.init(jax.random.PRNGKey(0), seg, z)
+    d_vars = disc.init(jax.random.PRNGKey(1),
+                       jnp.concatenate([seg, real], -1), False)
+    g_tx, d_tx = optax.adam(2e-4), optax.adam(2e-4)
+    state = GanState(
+        g_params=g_vars["params"], d_params=d_vars["params"],
+        d_spectral=d_vars.get("spectral", {}),
+        g_opt=g_tx.init(g_vars["params"]),
+        d_opt=d_tx.init(d_vars["params"]),
+        step=jnp.zeros((), jnp.int32))
+    step = make_gan_train_step(gen, disc, g_tx, d_tx)
+
+    losses = []
+    for i in range(4):
+        state, l = step(state, seg, real, z)
+        losses.append({k: float(v) for k, v in l.items()})
+    assert all(np.isfinite(v) for l in losses for v in l.values())
+    assert int(state.step) == 4
+    # d_loss should move (params updating)
+    assert losses[0]["d_loss"] != losses[-1]["d_loss"]
