@@ -21,7 +21,70 @@ import numpy as np
 TARGET_LAYOUTS_PER_SEC = 5000.0
 
 
+def bench_refine() -> dict:
+    """Refinement render-grad steps/sec (north star: >= 200/s)."""
+    import dataclasses
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sln_tpu.config import DataConfig, default_config
+    from sln_tpu.data.augment import build_graphs
+    from sln_tpu.models.vae import Sg2ScVAE
+    from sln_tpu.render import assets, scene as scene_lib
+    from sln_tpu.workloads import common, refine
+
+    cfg = default_config().replace(
+        data=DataConfig(max_objects=16, max_triples=48, max_on_rels=16))
+    val_arrays, size_info = common.load_arrays(8, cfg, synthetic_seed=3)
+    batch = build_graphs(
+        jax.random.PRNGKey(0), jnp.asarray(val_arrays["objs"][:1]),
+        jnp.asarray(val_arrays["boxes"][:1]),
+        jnp.asarray(val_arrays["angles"][:1]),
+        jnp.asarray(val_arrays["obj_mask"][:1]),
+        jnp.asarray(val_arrays["room_ids"][:1]), size_info, max_on_rels=16)
+    model = Sg2ScVAE(cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), batch, None, False)
+    bank_host = assets.build_procedural_bank(cfg.render.mesh_subdiv)
+    bank = scene_lib.device_bank(bank_host, cfg.render.shell_subdiv)
+    import dataclasses as dc
+    rcfg = dc.replace(cfg.render, camera=dc.replace(
+        cfg.render.camera, image_size=cfg.refine.render_size))
+    room_row = (batch.boxes * batch.room_mask[..., None]).sum(
+        1, keepdims=True)
+    abs0 = np.asarray(batch.boxes[0]) * np.concatenate(
+        [np.asarray(room_row)[0, 0, 3:]] * 2)[None]
+    midx = assets.retrieve_models(batch.objs[0], jnp.asarray(abs0),
+                                  bank_host)
+    target = scene_lib.render_layout(
+        batch.objs[0], batch.boxes[0], batch.angles[0].astype(jnp.float32),
+        batch.obj_mask[0], midx, bank, rcfg)
+    size_t = jnp.asarray(abs0[:, 3:] - abs0[:, :3])
+    tx, step, snap, run_scan = refine.make_refine_step(
+        model, variables.get("batch_stats", {}), batch, midx, bank, target,
+        size_t, room_row, cfg)
+    z0 = jnp.zeros((1, batch.max_objects, cfg.model.latent_dim))
+    opt = tx.init((z0, variables["params"]))
+    state = refine.RefineState(z0, variables["params"], opt,
+                               jnp.zeros((), jnp.int32))
+    N = 240
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    s2, _ = run_scan(state, keys)
+    jax.block_until_ready(s2.z)
+    t0 = _time.perf_counter()
+    s2, _ = run_scan(state, keys)
+    jax.block_until_ready(s2.z)
+    rate = N / (_time.perf_counter() - t0)
+    return {"metric": "refine_render_grad_steps_per_sec",
+            "value": round(rate, 1), "unit": "steps/s",
+            "vs_baseline": round(rate / 200.0, 3)}
+
+
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
@@ -29,6 +92,11 @@ def main():
     from sln_tpu.models.vae import Sg2ScVAE
     from sln_tpu.workloads.heatmap import (heatmap_scene_batch,
                                            make_sampler)
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="also benchmark refinement steps/sec")
+    opts = ap.parse_args()
 
     cfg = default_config()
     cfg = cfg.replace(data=DataConfig(max_objects=8, max_triples=24,
@@ -65,6 +133,8 @@ def main():
         "unit": "layouts/s",
         "vs_baseline": round(layouts_per_sec / TARGET_LAYOUTS_PER_SEC, 3),
     }))
+    if opts.full:
+        print(json.dumps(bench_refine()))
 
 
 if __name__ == "__main__":
