@@ -18,3 +18,20 @@ The package name is the importable spelling of "3d_sln_tpu".
 """
 
 __version__ = "0.1.0"
+
+# Persistent compilation cache: compiles over the remote-TPU tunnel are
+# slow (tens of seconds); caching them across processes makes every CLI /
+# workload start fast. Disable with SLN_TPU_COMPILATION_CACHE=0.
+import os as _os
+
+if _os.environ.get("SLN_TPU_COMPILATION_CACHE", "1") != "0":
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           1.0)
+    except Exception:  # very old jax or read-only fs: not fatal
+        pass

@@ -61,14 +61,21 @@ def create_state(cfg: Config, rng: jax.Array,
 
 
 def make_train_step(model: Sg2ScVAE, tx: optax.GradientTransformation,
-                    cfg: Config, size_info: SizeInfo
+                    cfg: Config, size_info: SizeInfo,
+                    eval_mode: bool = False
                     ) -> Callable[[TrainState, RawBatch, jax.Array],
                                   Tuple[TrainState, Dict[str, jnp.ndarray]]]:
-    """Build the jitted step. size_info is closed over as device constants."""
+    """Build the jitted step. size_info is closed over as device constants.
+
+    eval_mode=True keeps optimizing parameters but runs the model with
+    frozen BatchNorm statistics — the reference's `model.eval()` switch at
+    --eval_mode_after (train.py:63-65).
+    """
 
     max_on = cfg.data.max_on_rels
     use_attr_30 = cfg.data.use_attr_30
     use_ae = cfg.model.use_ae
+    train_flag = not eval_mode
 
     def step_fn(state: TrainState, raw: RawBatch, rng: jax.Array):
         rng_graph, rng_z = jax.random.split(jax.random.fold_in(rng,
@@ -80,7 +87,7 @@ def make_train_step(model: Sg2ScVAE, tx: optax.GradientTransformation,
         def loss_fn(params):
             (mu, logvar, boxes_pred, angle_lp), mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch, rng_z, True, mutable=["batch_stats"])
+                batch, rng_z, train_flag, mutable=["batch_stats"])
             kl_w = kl_weight_at(state.step + 1, cfg.train)
             total, losses = vae_losses(batch, mu, logvar, boxes_pred,
                                        angle_lp, kl_w, use_ae)

@@ -40,11 +40,18 @@ def parse_args(argv=None):
                    help="z samples for gan_shade (reference test.py:94)")
     p.add_argument("--room_ids", default="", type=str,
                    help="comma-separated room ids for --fine_tune")
+    p.add_argument("--blender_path", default="", type=str)
+    p.add_argument("--blender_script", default="", type=str)
+    p.add_argument("--spade_crop", default=256, type=int,
+                   help="SPADE render size (reference: 256)")
+    p.add_argument("--spade_ngf", default=64, type=int,
+                   help="SPADE width (reference: 64)")
     return p.parse_args(argv)
 
 
 def build_cfg(args):
-    from sln_tpu.config import DataConfig, TrainConfig, default_config
+    from sln_tpu.config import (DataConfig, SpadeConfig, TrainConfig,
+                                default_config)
     cfg = default_config()
     return cfg.replace(
         data=DataConfig(max_objects=args.max_objects,
@@ -54,6 +61,8 @@ def build_cfg(args):
                         val_path=args.suncg_val_dir),
         train=TrainConfig(output_dir=args.output_dir,
                           checkpoint_name=args.checkpoint_name),
+        spade=SpadeConfig(crop_size=args.spade_crop, ngf=args.spade_ngf,
+                          num_z=args.num_z),
         test_dir=args.test_dir)
 
 
@@ -156,6 +165,20 @@ def main(argv=None):
         out = os.path.join(save_dir, "demo.png")
         plot2d(exp_boxes, exp_rots, obj_types, out)
         print("Wrote", out)
+        return
+
+    if args.draw_3d:
+        # Photoreal rendering is an optional Blender subprocess
+        # (reference testing/test_plot3d.py); the rasterizer path covers
+        # masks/depth without it (--gan_shade).
+        from sln_tpu.render import blender_bridge
+        try:
+            blender_bridge.run_color_render(
+                args.test_dir, args.blender_path or None,
+                args.blender_script or None)
+            print("Blender render finished")
+        except blender_bridge.BlenderNotAvailable as e:
+            print(f"draw_3d unavailable: {e}")
         return
 
     if args.fine_tune:

@@ -69,3 +69,14 @@ def test_generator4_shapes_and_range():
     out = model.apply({"params": params}, seg, z)
     assert out.shape == (2, 64, 64, 3)
     assert float(jnp.abs(out).max()) <= 1.0
+
+
+def test_classic_spade_generator_shapes():
+    from sln_tpu.spade.classic import SPADEGenerator
+    model = SPADEGenerator(ngf=8, nz=16, crop_size=64)
+    seg = jnp.zeros((1, 64, 64, 41))
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, 16))
+    params = model.init(jax.random.PRNGKey(1), seg, z)["params"]
+    out = model.apply({"params": params}, seg, z)
+    assert out.shape == (1, 64, 64, 3)
+    assert float(jnp.abs(out).max()) <= 1.0

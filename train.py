@@ -38,6 +38,7 @@ def parse_args(argv=None):
     p.add_argument("--mlp_normalization", default="batch", type=str)
     p.add_argument("--batch_size", default=128, type=int)
     p.add_argument("--num_iterations", default=600000, type=int)
+    p.add_argument("--eval_mode_after", default=-1, type=int)
     p.add_argument("--learning_rate", default=1e-4, type=float)
     p.add_argument("--print_every", default=100, type=int)
     p.add_argument("--checkpoint_every", default=1000, type=int)
@@ -138,6 +139,10 @@ def main(argv=None):
     model, state, tx = train_loop.create_state(
         cfg, jax.random.PRNGKey(cfg.train.seed), example)
     step_fn = train_loop.make_train_step(model, tx, cfg, size_info)
+    eval_step_fn = None
+    if args.eval_mode_after >= 0:
+        eval_step_fn = train_loop.make_train_step(model, tx, cfg, size_info,
+                                                  eval_mode=True)
 
     ckpt = ckpt_lib.new_checkpoint({k: str(v) for k, v in vars(args).items()},
                                    VOCAB.to_dict())
@@ -160,6 +165,9 @@ def main(argv=None):
     state = meshlib.replicate(state, mesh)
     rng_np = np.random.default_rng(cfg.train.seed + 1)
     step_rng = jax.random.PRNGKey(cfg.train.seed)
+    from sln_tpu.train.metrics import MetricsLogger
+    metrics = MetricsLogger(os.path.join(cfg.train.output_dir,
+                                         "metrics.jsonl"))
     t0 = time.time()
     while t < cfg.train.num_iterations:
         epoch += 1
@@ -169,7 +177,12 @@ def main(argv=None):
                 break
             t += 1
             raw = meshlib.shard_batch(raw, mesh)
-            state, losses = step_fn(state, raw, step_rng)
+            # switch to frozen-BN steps past --eval_mode_after
+            # (reference train.py:63-65)
+            active_step = step_fn
+            if eval_step_fn is not None and t >= args.eval_mode_after:
+                active_step = eval_step_fn
+            state, losses = active_step(state, raw, step_rng)
 
             if t % cfg.train.print_every == 0:
                 losses = {k: float(v) for k, v in losses.items()}
@@ -181,6 +194,7 @@ def main(argv=None):
                 for name, val in losses.items():
                     print(f" [{name}]: {val:.4f}")
                 ckpt_lib.record_losses(ckpt, t, losses)
+                metrics.log(t, scenes_per_sec=rate, **losses)
 
             if t % cfg.train.checkpoint_every == 0:
                 path = ckpt_lib.save_checkpoint(
