@@ -215,7 +215,6 @@ def render_channels(scene: SceneBuffers, room_dims: jnp.ndarray,
 
     per_class_depth = jnp.where(
         hard, depth[None], means[:, None, None]) / wall_max    # (32, S, S)
-    depth_slots = jnp.asarray(DEPTH_SLOT)
     sel = jnp.asarray([RENDER_CLASSES.index(c) for c in DEPTH_CLASSES],
                       jnp.int32)
     depth_channels = per_class_depth[sel]                      # (29, S, S)

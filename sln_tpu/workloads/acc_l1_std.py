@@ -119,7 +119,6 @@ def run_acc_l1(model, variables, val_arrays: Dict[str, np.ndarray],
             out[f"total_{name}"] = total
         return out
 
-    agg = {}
     l1s = {"pred": [], "rand": [], "pert": []}
     goods = {"pred": 0, "rand": 0, "pert": 0}
     totals = 0
