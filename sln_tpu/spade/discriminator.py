@@ -37,9 +37,11 @@ class NLayerDiscriminator(nn.Module):
     """pix2pixHD discriminator (reference :450-506), spectral-instance norm.
 
     Returns the list of intermediate features; the last entry is the logit
-    map."""
+    map — or, with mmd_nz > 0, the (logits, z) tuple of the MMD variant's
+    decide/z_out heads (reference NLayerDiscriminator_MMD :1237-1296)."""
     ndf: int = 64
     n_layers: int = 3
+    mmd_nz: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False
@@ -61,17 +63,26 @@ class NLayerDiscriminator(nn.Module):
             h = (h - mean) * jax.lax.rsqrt(var + 1e-5)
             h = nn.leaky_relu(h, 0.2)
             results.append(h)
-        logits = nn.Conv(1, (1, 1), padding=1, name="head")(h)
-        results.append(logits)
+        if self.mmd_nz > 0:
+            logits = nn.Conv(1, (1, 1), name="decide")(h)
+            z = nn.Conv(h.shape[-1], (1, 1), name="z_out0")(h)
+            z = nn.leaky_relu(z, 0.01)
+            z = nn.Conv(self.mmd_nz, (1, 1), name="z_out1")(z)
+            results.append((logits, z.mean(axis=(1, 2))))
+        else:
+            logits = nn.Conv(1, (1, 1), padding=1, name="head")(h)
+            results.append(logits)
         return results
 
 
 class MultiscaleDiscriminator(nn.Module):
     """Reference :397-447: num_D discriminators on a downsampled pyramid,
-    each one layer shallower than the previous."""
+    each one layer shallower than the previous. mmd_nz > 0 selects the
+    MMD decide/z_out heads (reference MultiscaleDiscriminator_MMD_2)."""
     ndf: int = 64
     n_layers: int = 3
     num_d: int = 2
+    mmd_nz: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False
@@ -81,6 +92,7 @@ class MultiscaleDiscriminator(nn.Module):
         for i in range(self.num_d):
             outs.append(NLayerDiscriminator(
                 ndf=self.ndf, n_layers=max(n_layers, 1),
+                mmd_nz=self.mmd_nz,
                 name=f"discriminator_{i}")(x, train))
             n_layers -= 1
             if i + 1 < self.num_d:

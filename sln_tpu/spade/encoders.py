@@ -98,41 +98,25 @@ class ConvEncoderPSPSE(nn.Module):
 
 
 class NLayerDiscriminatorMMD(nn.Module):
-    """pix2pixHD body + decide/z_out heads (reference :1237-1296)."""
+    """pix2pixHD body + decide/z_out heads (reference :1237-1296).
+
+    Thin wrapper over the shared trunk in
+    sln_tpu.spade.discriminator.NLayerDiscriminator (mmd_nz selects the
+    MMD heads). Returns [feat_1, ..., feat_n, (logits, z)]."""
     ndf: int = 64
     n_layers: int = 3
     nz: int = 256
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
-        """Returns [feat_1, ..., feat_n, (logits, z)]."""
-        results = []
-        nf = self.ndf
-        h = SpectralConv(nf, (4, 4), strides=2, padding=2,
-                         name="conv0")(x, train)
-        h = nn.leaky_relu(h, 0.2)
-        results.append(h)
-        for n in range(1, self.n_layers):
-            nf = min(nf * 2, 512)
-            stride = 1 if n == self.n_layers - 1 else 2
-            h = SpectralConv(nf, (4, 4), strides=stride, padding=2,
-                             name=f"conv{n}")(h, train)
-            mean = h.mean(axis=(1, 2), keepdims=True)
-            var = h.var(axis=(1, 2), keepdims=True)
-            h = (h - mean) * jax.lax.rsqrt(var + 1e-5)
-            h = nn.leaky_relu(h, 0.2)
-            results.append(h)
-        logits = nn.Conv(1, (1, 1), name="decide")(h)
-        z = nn.Conv(h.shape[-1], (1, 1), name="z_out0")(h)
-        z = nn.leaky_relu(z, 0.01)
-        z = nn.Conv(self.nz, (1, 1), name="z_out1")(z)
-        z = z.mean(axis=(1, 2))
-        results.append((logits, z))
-        return results
+        from sln_tpu.spade.discriminator import NLayerDiscriminator
+        return NLayerDiscriminator(ndf=self.ndf, n_layers=self.n_layers,
+                                   mmd_nz=self.nz, name="trunk")(x, train)
 
 
 class MultiscaleDiscriminatorMMD(nn.Module):
-    """Reference MultiscaleDiscriminator_MMD_2 :1300-1337."""
+    """Reference MultiscaleDiscriminator_MMD_2 :1300-1337 — the shared
+    multiscale wrapper with MMD heads enabled."""
     ndf: int = 64
     n_layers: int = 3
     num_d: int = 2
@@ -141,13 +125,7 @@ class MultiscaleDiscriminatorMMD(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False
                  ) -> List[list]:
-        outs = []
-        n_layers = self.n_layers
-        for i in range(self.num_d):
-            outs.append(NLayerDiscriminatorMMD(
-                ndf=self.ndf, n_layers=max(n_layers, 1), nz=self.nz,
-                name=f"discriminator_{i}")(x, train))
-            n_layers -= 1
-            if i + 1 < self.num_d:
-                x = avg_pool_down(x)
-        return outs
+        from sln_tpu.spade.discriminator import MultiscaleDiscriminator
+        return MultiscaleDiscriminator(
+            ndf=self.ndf, n_layers=self.n_layers, num_d=self.num_d,
+            mmd_nz=self.nz, name="trunk")(x, train)

@@ -72,6 +72,22 @@ def spade_input_from_files(semantic_dir: str, room: str = "") -> np.ndarray:
     return total.transpose(1, 2, 0)
 
 
+def render_scene_channels(batch, bank_host, bank, rcfg):
+    """Single-scene SceneBatch -> (70, S, S) channel stack (mesh retrieval
+    from the scene's own boxes). Shared by the gan_shade workload and the
+    SPADE trainer's synthetic-pair generation."""
+    import jax.numpy as jnp
+
+    room_dims = np.asarray(batch.room_boxes())[0, 3:]
+    abs_boxes = np.asarray(batch.boxes[0]) * np.concatenate(
+        [room_dims, room_dims])[None]
+    midx = assets.retrieve_models(batch.objs[0], jnp.asarray(abs_boxes),
+                                  bank_host)
+    return scene_lib.render_layout(
+        batch.objs[0], batch.boxes[0], batch.angles[0].astype(jnp.float32),
+        batch.obj_mask[0], midx, bank, rcfg)
+
+
 def make_spade_model(cfg: Config, checkpoint_path: Optional[str] = None):
     """Generator + params (ported reference checkpoint or random init)."""
     import jax
@@ -140,8 +156,8 @@ def run_gan_shade(vae_model, vae_variables, val_arrays: Dict[str,
 
     os.makedirs(save_dir, exist_ok=True)
     rcfg = dataclasses.replace(
-        cfg.render, camera=dataclasses.replace(cfg.render.camera,
-                                               image_size=cfg.spade.crop_size))
+        cfg.render, camera=dataclasses.replace(
+            cfg.render.camera, image_size=cfg.spade.crop_size))
     bank_host = assets.build_procedural_bank(cfg.render.mesh_subdiv)
     bank = scene_lib.device_bank(bank_host, cfg.render.shell_subdiv)
     model, params = make_spade_model(cfg, spade_checkpoint)
@@ -162,15 +178,7 @@ def run_gan_shade(vae_model, vae_variables, val_arrays: Dict[str,
             jnp.asarray(val_arrays["obj_mask"][idx:idx + 1]),
             jnp.asarray(val_arrays["room_ids"][idx:idx + 1]), size_info,
             max_on_rels=cfg.data.max_on_rels)
-        room_dims = np.asarray(batch.room_boxes())[0, 3:]
-        abs_boxes = np.asarray(batch.boxes[0]) * np.concatenate(
-            [room_dims, room_dims])[None]
-        midx = assets.retrieve_models(batch.objs[0], jnp.asarray(abs_boxes),
-                                      bank_host)
-        channels = scene_lib.render_layout(
-            batch.objs[0], batch.boxes[0],
-            batch.angles[0].astype(jnp.float32), batch.obj_mask[0], midx,
-            bank, rcfg)
+        channels = render_scene_channels(batch, bank_host, bank, rcfg)
         spade_in = layout_channels_to_spade_input(np.asarray(channels))
         rgb = colorize(model, params, spade_in, num_z)
         for k in range(num_z):

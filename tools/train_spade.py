@@ -57,15 +57,8 @@ def synthetic_pairs(num_rooms: int, crop: int, seed: int = 0):
             jnp.asarray(arrays["obj_mask"][i:i + 1]),
             jnp.asarray(arrays["room_ids"][i:i + 1]), size_info,
             max_on_rels=cfg.data.max_on_rels)
-        room_dims = np.asarray(batch.room_boxes())[0, 3:]
-        abs_boxes = np.asarray(batch.boxes[0]) * np.concatenate(
-            [room_dims, room_dims])[None]
-        midx = assets.retrieve_models(batch.objs[0],
-                                      jnp.asarray(abs_boxes), bank_host)
-        ch = np.asarray(scene_lib.render_layout(
-            batch.objs[0], batch.boxes[0],
-            batch.angles[0].astype(jnp.float32), batch.obj_mask[0], midx,
-            bank, rcfg))
+        ch = np.asarray(gan_shade.render_scene_channels(
+            batch, bank_host, bank, rcfg))
         seg = gan_shade.layout_channels_to_spade_input(ch)
         # deterministic shading target: class color x depth-based shade
         masks = seg[..., 1:]                                   # (H, W, 40)
