@@ -21,8 +21,12 @@ import numpy as np
 TARGET_LAYOUTS_PER_SEC = 5000.0
 
 
-def bench_refine() -> dict:
-    """Refinement render-grad steps/sec (north star: >= 200/s)."""
+def bench_refine(num_rooms: int = 1) -> dict:
+    """Refinement render-grad steps/sec (north star: >= 200/s).
+
+    num_rooms > 1 refines independent rooms simultaneously in one device
+    program (the serving configuration); the reported rate is aggregate
+    room-steps/sec."""
     import dataclasses
     import time as _time
 
@@ -36,15 +40,17 @@ def bench_refine() -> dict:
     from sln_tpu.render import assets, scene as scene_lib
     from sln_tpu.workloads import common, refine
 
+    B = num_rooms
     cfg = default_config().replace(
         data=DataConfig(max_objects=16, max_triples=48, max_on_rels=16))
-    val_arrays, size_info = common.load_arrays(8, cfg, synthetic_seed=3)
+    val_arrays, size_info = common.load_arrays(max(B, 8), cfg,
+                                               synthetic_seed=3)
     batch = build_graphs(
-        jax.random.PRNGKey(0), jnp.asarray(val_arrays["objs"][:1]),
-        jnp.asarray(val_arrays["boxes"][:1]),
-        jnp.asarray(val_arrays["angles"][:1]),
-        jnp.asarray(val_arrays["obj_mask"][:1]),
-        jnp.asarray(val_arrays["room_ids"][:1]), size_info, max_on_rels=16)
+        jax.random.PRNGKey(0), jnp.asarray(val_arrays["objs"][:B]),
+        jnp.asarray(val_arrays["boxes"][:B]),
+        jnp.asarray(val_arrays["angles"][:B]),
+        jnp.asarray(val_arrays["obj_mask"][:B]),
+        jnp.asarray(val_arrays["room_ids"][:B]), size_info, max_on_rels=16)
     model = Sg2ScVAE(cfg.model)
     variables = model.init(jax.random.PRNGKey(0), batch, None, False)
     bank_host = assets.build_procedural_bank(cfg.render.mesh_subdiv)
@@ -53,19 +59,23 @@ def bench_refine() -> dict:
     rcfg = dc.replace(cfg.render, camera=dc.replace(
         cfg.render.camera, image_size=cfg.refine.render_size))
     room_row = (batch.boxes * batch.room_mask[..., None]).sum(
-        1, keepdims=True)
-    abs0 = np.asarray(batch.boxes[0]) * np.concatenate(
-        [np.asarray(room_row)[0, 0, 3:]] * 2)[None]
-    midx = assets.retrieve_models(batch.objs[0], jnp.asarray(abs0),
-                                  bank_host)
-    target = scene_lib.render_layout(
-        batch.objs[0], batch.boxes[0], batch.angles[0].astype(jnp.float32),
-        batch.obj_mask[0], midx, bank, rcfg)
-    size_t = jnp.asarray(abs0[:, 3:] - abs0[:, :3])
+        1, keepdims=True)                                # (B, 1, 6)
+    dims = np.asarray(room_row)[:, 0, 3:]
+    abs0 = np.asarray(batch.boxes) * np.concatenate(
+        [dims, dims], -1)[:, None, :]
+    midx = jnp.stack([
+        assets.retrieve_models(batch.objs[b], jnp.asarray(abs0[b]),
+                               bank_host) for b in range(B)])
+    target = jax.vmap(
+        lambda o, bx, a, m, mi: scene_lib.render_layout(
+            o, bx, a, m, mi, bank, rcfg))(
+        batch.objs, batch.boxes, batch.angles.astype(jnp.float32),
+        batch.obj_mask, midx)
+    size_t = jnp.asarray(abs0[:, :, 3:] - abs0[:, :, :3])
     tx, step, snap, run_scan = refine.make_refine_step(
         model, variables.get("batch_stats", {}), batch, midx, bank, target,
         size_t, room_row, cfg)
-    z0 = jnp.zeros((1, batch.max_objects, cfg.model.latent_dim))
+    z0 = jnp.zeros((B, batch.max_objects, cfg.model.latent_dim))
     opt = tx.init((z0, variables["params"]))
     state = refine.RefineState(z0, variables["params"], opt,
                                jnp.zeros((), jnp.int32))
@@ -76,9 +86,10 @@ def bench_refine() -> dict:
     t0 = _time.perf_counter()
     s2, _ = run_scan(state, keys)
     jax.block_until_ready(s2.z)
-    rate = N / (_time.perf_counter() - t0)
-    return {"metric": "refine_render_grad_steps_per_sec",
-            "value": round(rate, 1), "unit": "steps/s",
+    rate = N * B / (_time.perf_counter() - t0)
+    suffix = "" if B == 1 else f"_batched_{B}_rooms"
+    return {"metric": f"refine_render_grad_steps_per_sec{suffix}",
+            "value": round(rate, 1), "unit": "room-steps/s",
             "vs_baseline": round(rate / 200.0, 3)}
 
 
@@ -135,6 +146,7 @@ def main():
     }))
     if opts.full:
         print(json.dumps(bench_refine()))
+        print(json.dumps(bench_refine(num_rooms=8)))
 
 
 if __name__ == "__main__":

@@ -121,7 +121,13 @@ class RefineState(NamedTuple):
 def make_refine_step(model, batch_stats, batch: SceneBatch, model_idx,
                      bank: scene_lib.DeviceBank, target_img, size_targets,
                      room_row_gt, cfg: Config):
-    """batch: single-scene (B=1) SceneBatch; target_img: (70, S, S)."""
+    """Refine B scenes simultaneously (B=1 reproduces the reference loop).
+
+    batch: (B, ...) SceneBatch; model_idx: (B, O); target_img:
+    (B, 70, S, S); size_targets: (B, O, 3); room_row_gt: (B, 1, 6).
+    Each scene renders independently (vmapped, including the Pallas
+    rasterizer); the optimizer moves on the mean of per-scene totals.
+    """
     import dataclasses
 
     from sln_tpu.models.vae import Sg2ScVAE
@@ -130,10 +136,9 @@ def make_refine_step(model, batch_stats, batch: SceneBatch, model_idx,
     rcfg = dataclasses.replace(
         cfg.render, camera=dataclasses.replace(
             cfg.render.camera, image_size=ref.render_size))
-    O = batch.max_objects
-    room_mask1 = batch.room_mask[0]                      # (O,)
-    renderable = (jnp.asarray(scene_lib.OBJ_RENDERABLE)[batch.objs[0]]
-                  & batch.obj_mask[0] & ~room_mask1)
+    room_mask = batch.room_mask                           # (B, O)
+    renderable = (jnp.asarray(scene_lib.OBJ_RENDERABLE)[batch.objs]
+                  & batch.obj_mask & ~room_mask)          # (B, O)
     angles_gt_f = batch.angles.astype(jnp.float32)
 
     tx = optax.multi_transform(
@@ -143,44 +148,49 @@ def make_refine_step(model, batch_stats, batch: SceneBatch, model_idx,
                              momentum=ref.momentum, nesterov=ref.nesterov)},
         ("z", "params"))
 
+    render_batch = jax.vmap(
+        lambda o, b, a, m, mi: scene_lib.render_layout(o, b, a, m, mi,
+                                                       bank, rcfg))
+
     def forward(z, params, key):
         variables = {"params": params, "batch_stats": batch_stats}
         boxes_pred, angle_lp = model.apply(variables, z, batch, False,
                                            method=Sg2ScVAE.decode)
         boxes_pred = fix_grad(boxes_pred)                # hook :288
         # clamp the room row to GT (:291) — also kills its gradient
-        boxes_pred = jnp.where(room_mask1[None, :, None], room_row_gt,
+        boxes_pred = jnp.where(room_mask[..., None], room_row_gt,
                                boxes_pred)
         ang = softargmax(angle_lp, ref.softargmax_beta)
         ang = ang + jax.random.normal(key, ang.shape) * ref.angle_noise_scale
         ang = quad_grad(ang)                              # hook :297
-        ang = jnp.where(room_mask1[None], angles_gt_f, ang)   # :298
+        ang = jnp.where(room_mask, angles_gt_f, ang)      # :298
 
-        img = scene_lib.render_layout(
-            batch.objs[0], boxes_pred[0], ang[0], batch.obj_mask[0],
-            model_idx, bank, rcfg)
+        imgs = render_batch(batch.objs, boxes_pred, ang, batch.obj_mask,
+                            model_idx)                    # (B, 70, S, S)
 
-        depth_loss, sem_loss = refine_losses(img, target_img,
-                                             ref.pyramid_sizes)
+        depth_loss, sem_loss = jax.vmap(
+            lambda i, t: refine_losses(i, t, ref.pyramid_sizes))(
+            imgs, target_img)
+        depth_loss = depth_loss.mean()
+        sem_loss = sem_loss.mean()
 
-        # size drift (diff_render.py:96-98,163-164)
-        room_dims = room_row_gt[0, 0, 3:]
-        abs_size = ((boxes_pred[0, :, 3:] - boxes_pred[0, :, :3])
-                    * room_dims[None])
-        # sum over objects of per-object MSE (mean over the 3 size dims),
-        # matching the reference's accumulated nn.functional.mse_loss
+        # size drift (diff_render.py:96-98,163-164), mean over scenes
+        room_dims = room_row_gt[:, 0, 3:]                 # (B, 3)
+        abs_size = ((boxes_pred[..., 3:] - boxes_pred[..., :3])
+                    * room_dims[:, None, :])
+        # per scene: sum over objects of per-object MSE (mean over the 3
+        # size dims), matching the reference's accumulated mse_loss
         size_loss = (jnp.square(abs_size - size_targets)
-                     * renderable[:, None]).sum() / 3.0
-        wall_drift = jnp.square(boxes_pred[0] - room_row_gt[0, 0]
-                                ).mean(where=jnp.broadcast_to(
-                                    room_mask1[:, None],
-                                    boxes_pred[0].shape))
-        size_total = size_loss + wall_drift
+                     * renderable[..., None]).sum(axis=(1, 2)) / 3.0
+        wall_sq = jnp.square(boxes_pred - room_row_gt)    # (B, O, 6)
+        wall_drift = ((wall_sq * room_mask[..., None]).sum(axis=(1, 2))
+                      / (room_mask.sum(axis=1) * 6.0))
+        size_total = (size_loss + wall_drift).mean()
 
         total = depth_loss * 100.0 + sem_loss * 100.0 + size_total * 2.0
         aux = {"depth_loss": depth_loss, "semantic_loss": sem_loss,
                "size_loss": size_total, "total": total}
-        return total, (aux, img, boxes_pred, ang)
+        return total, (aux, imgs, boxes_pred, ang)
 
     def _step_inner(state: RefineState, key):
         (total, (aux, img, boxes_pred, ang)), grads = jax.value_and_grad(
@@ -291,8 +301,8 @@ def finetune_rooms(model, variables, val_arrays, size_info: SizeInfo,
             batch.objs[0], jnp.asarray(abs_gt), bank_host)
         target_img = scene_lib.render_layout(
             batch.objs[0], batch.boxes[0], gt_angles[0], batch.obj_mask[0],
-            model_idx_gt, bank, rcfg)
-        save_channel_images(np.asarray(target_img), save_dir, "target")
+            model_idx_gt, bank, rcfg)[None]               # (1, 70, S, S)
+        save_channel_images(np.asarray(target_img)[0], save_dir, "target")
 
         # iteration-0 retrieval + size cache from the PREDICTED layout
         boxes0, _ = model.apply(variables, z0, batch, False,
@@ -301,8 +311,8 @@ def finetune_rooms(model, variables, val_arrays, size_info: SizeInfo,
         abs0 = np.asarray(boxes0[0]) * np.concatenate(
             [room_dims, room_dims])[None]
         model_idx = assets.retrieve_models(batch.objs[0], jnp.asarray(abs0),
-                                           bank_host)
-        size_targets = jnp.asarray(abs0[:, 3:] - abs0[:, :3])
+                                           bank_host)[None]   # (1, O)
+        size_targets = jnp.asarray(abs0[:, 3:] - abs0[:, :3])[None]
 
         tx, step, snapshot, run_scan = make_refine_step(
             model, variables.get("batch_stats", {}), batch, model_idx, bank,
@@ -314,14 +324,16 @@ def finetune_rooms(model, variables, val_arrays, size_info: SizeInfo,
         keys = jax.random.split(jax.random.PRNGKey(ref.seed + 1), num_iters)
 
         def dump(state, k):
-            _, img, boxes_pred, ang = snapshot(state, keys[min(
+            _, imgs, boxes_pred, ang = snapshot(state, keys[min(
                 k, num_iters - 1)])
-            save_channel_images(np.asarray(img), save_dir, str(k).zfill(3))
+            save_channel_images(np.asarray(imgs)[0], save_dir,
+                                str(k).zfill(3))
             with open(os.path.join(save_dir, f"bbox_rot_{k}.pkl"),
                       "wb") as f:
                 pickle.dump([room_id, np.asarray(boxes_pred[0]),
-                             np.asarray(ang[0]), np.asarray(size_targets),
-                             np.asarray(model_idx)], f)
+                             np.asarray(ang[0]),
+                             np.asarray(size_targets[0]),
+                             np.asarray(model_idx[0])], f)
 
         dump(state, 0)
         # all optimization iterations run as ONE device program
