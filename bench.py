@@ -130,7 +130,7 @@ def main():
     boxes, angles = sample_fn(key)
     jax.block_until_ready(boxes)
 
-    steps = 20
+    steps = 40
     t0 = time.perf_counter()
     for i in range(steps):
         boxes, angles = sample_fn(jax.random.fold_in(key, i))

@@ -187,7 +187,12 @@ def make_refine_step(model, batch_stats, batch: SceneBatch, model_idx,
                       / (room_mask.sum(axis=1) * 6.0))
         size_total = (size_loss + wall_drift).mean()
 
-        total = depth_loss * 100.0 + sem_loss * 100.0 + size_total * 2.0
+        # reference weighting (test_render_refine.py:349-354): depth
+        # 100 * 0.5 (orig_scaler folded into refine_losses), semantic
+        # 100 / 800 (the /800 folded into refine_losses), size x2
+        total = (depth_loss * 2.0 * ref.depth_loss_weight
+                 + sem_loss * 800.0 * ref.semantic_loss_weight
+                 + size_total * ref.size_loss_weight)
         aux = {"depth_loss": depth_loss, "semantic_loss": sem_loss,
                "size_loss": size_total, "total": total}
         return total, (aux, imgs, boxes_pred, ang)

@@ -119,3 +119,21 @@ def test_plot2d(tmp_path):
     out = tmp_path / "demo.png"
     plot2d(boxes, [0.0, 18.0, 0.0], [20, 30, 0], str(out))
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_sample_z_covariance():
+    """posterior.sample_z must reproduce the requested full covariance
+    (the reference draws from np.random.multivariate_normal with the full
+    64x64 cov, test_VAE.py:82)."""
+    import jax
+    d = 6
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((d, d))
+    cov = A @ A.T + 0.5 * np.eye(d)
+    mean = rng.standard_normal(d)
+    z = np.asarray(posterior.sample_z(jax.random.PRNGKey(0), mean, cov,
+                                      (20000,)))
+    emp_mean = z.mean(axis=0)
+    emp_cov = np.cov(z.T)
+    np.testing.assert_allclose(emp_mean, mean, atol=0.1)
+    np.testing.assert_allclose(emp_cov, cov, atol=0.25, rtol=0.15)
