@@ -2,6 +2,10 @@
 
 import os
 
+# tests run on the CPU backend: keep the persistent compile cache TPU-only
+# (cached CPU executables may carry mismatched machine features)
+os.environ.setdefault("SLN_TPU_COMPILATION_CACHE", "0")
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
