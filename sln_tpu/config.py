@@ -115,6 +115,11 @@ class TrainConfig:
     learning_rate: float = 1e-4
     kl_loss_weight: float = 0.1
     kl_linear_decay: bool = False   # staircase 10**(t//1e5 - 6) when True
+    # Free-bits floor per latent dim (0 = off, exact reference parity).
+    # Long training collapses the posterior KL on graph-determined data,
+    # which kills z-space refinement (see CLAUDE.md modeling notes); a
+    # small floor (e.g. 0.05) keeps z informative.
+    kl_free_bits: float = 0.0
     seed: int = 42
     print_every: int = 100
     checkpoint_every: int = 1000

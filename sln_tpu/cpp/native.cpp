@@ -324,6 +324,40 @@ struct Parser {
 
 }  // namespace json
 
+// Cheap O(n) scan counting keys at depth 1 of a JSON object: strings
+// followed by ':' while brace/bracket depth == 1. Used by the Python
+// binding to size the output arrays exactly (one key per room in the
+// reference schema) instead of over-allocating.
+int64_t count_top_level_keys(const char* text, int64_t text_len) {
+  int64_t count = 0;
+  int depth = 0;
+  const char* p = text;
+  const char* end = text + text_len;
+  while (p < end) {
+    char c = *p;
+    if (c == '"') {
+      const char* str_start = ++p;
+      while (p < end && *p != '"') {
+        if (*p == '\\') ++p;
+        ++p;
+      }
+      (void)str_start;
+      if (p < end) ++p;  // closing quote
+      if (depth == 1) {
+        while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' ||
+                           *p == '\r'))
+          ++p;
+        if (p < end && *p == ':') ++count;
+      }
+      continue;
+    }
+    if (c == '{' || c == '[') ++depth;
+    else if (c == '}' || c == ']') --depth;
+    ++p;
+  }
+  return count;
+}
+
 // Parses the reference room-JSON schema and fills padded arrays.
 // class_names: '\n'-joined vocabulary (index = class id).
 // Outputs (caller-allocated, sized for num_rooms x max_objects):

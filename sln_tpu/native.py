@@ -48,6 +48,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.cuboid_iou.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_double, ctypes.c_double,
         ctypes.POINTER(ctypes.c_double), ctypes.c_double, ctypes.c_double]
+    lib.count_top_level_keys.restype = ctypes.c_int64
+    lib.count_top_level_keys.argtypes = [ctypes.c_char_p, ctypes.c_int64]
     lib.pack_rooms_json.restype = ctypes.c_int64
     lib.pack_rooms_json.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int32,
@@ -143,6 +145,35 @@ def cuboid_iou(quad1: np.ndarray, y1: Tuple[float, float],
 
 
 # ---------------------------------------------------------------------------
+def count_top_level_keys(json_text: str) -> int:
+    """Number of keys at depth 1 of a JSON object (= rooms in the
+    reference schema). C++ scan when available, pure-Python otherwise."""
+    data = json_text.encode("utf-8")
+    lib = _load()
+    if lib is not None:
+        return int(lib.count_top_level_keys(data, len(data)))
+    count, depth, i, n = 0, 0, 0, len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x22:  # '"'
+            i += 1
+            while i < n and data[i] != 0x22:
+                i += 2 if data[i] == 0x5C else 1
+            i += 1
+            if depth == 1:
+                while i < n and data[i] in b" \t\n\r":
+                    i += 1
+                if i < n and data[i] == 0x3A:  # ':'
+                    count += 1
+            continue
+        if c in b"{[":
+            depth += 1
+        elif c in b"}]":
+            depth -= 1
+        i += 1
+    return count
+
+
 def pack_rooms(json_text: str, max_objects: int,
                max_rooms: int = 1 << 20) -> Optional[Dict[str, np.ndarray]]:
     """C++ JSON scene packer; returns the tensorize_rooms array dict or
@@ -153,8 +184,11 @@ def pack_rooms(json_text: str, max_objects: int,
     from sln_tpu.data.vocab import OBJECT_IDX_TO_NAME
 
     data = json_text.encode("utf-8")
-    # upper bound on room count: number of top-level keys
-    est = min(json_text.count('":') + 8, max_rooms)
+    # exact room count = top-level keys (one key per room in the reference
+    # schema); counting every '":' here over-allocated ~room_count x
+    # objects_per_room arrays on real metadata files
+    est = min(int(lib.count_top_level_keys(data, len(data))) + 1, max_rooms)
+    est = max(est, 1)
     O = max_objects
     objs = np.zeros((est, O), np.int32)
     boxes = np.zeros((est, O, 6), np.float32)

@@ -3,7 +3,7 @@
 Replaces the reference's shapely/GEOS path (testing/test_utils.py:33-40):
 polygon intersection of the two rotated xz footprints (Sutherland-Hodgman
 clipping of convex quads, static shapes) times the y overlap. A C++ host
-implementation with identical semantics lives in sln_tpu/cpp/geometry.cpp.
+implementation with identical semantics lives in sln_tpu/cpp/native.cpp.
 """
 
 from __future__ import annotations

@@ -84,3 +84,40 @@ def load_checkpoint(path: str) -> Optional[Dict[str, Any]]:
 
 def latest_path(output_dir: str, name: str) -> str:
     return os.path.join(output_dir, f"latest_{name}_with_model.ckpt")
+
+
+def reference_pt_path(output_dir: str, name: str) -> str:
+    """Where a reference-trained torch checkpoint would sit
+    (reference train.py:99: latest_<name>_with_model.pt)."""
+    return os.path.join(output_dir, f"latest_{name}_with_model.pt")
+
+
+def load_reference_checkpoint(path: str, model_cfg
+                              ) -> Optional[Dict[str, Any]]:
+    """Import a reference-format torch checkpoint
+    (`latest_checkpoint_with_model.pt`, schema at reference train.py:34-55
+    and :93-100) into sln_tpu variables.
+
+    Returns a dict shaped like load_checkpoint's result: model_state holds
+    the ported {params, batch_stats}; counters/vocab/losses pass through.
+    The torch optimizer state is NOT ported (Adam moments don't transfer
+    meaningfully across frameworks) — resume restarts the optimizer.
+    """
+    if not os.path.isfile(path):
+        return None
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    from sln_tpu.utils.torch_port import port_sg2scvae
+
+    params, stats = port_sg2scvae(ckpt["model_state"], model_cfg)
+    return {
+        "args": ckpt.get("args", {}),
+        "vocab": ckpt.get("vocab", {}),
+        "losses_ts": ckpt.get("losses_ts", []),
+        "losses": dict(ckpt.get("losses", {})),
+        "checkpoint_ts": ckpt.get("checkpoint_ts", []),
+        "counters": ckpt.get("counters", {"t": None, "epoch": None}),
+        "model_state": {"params": params, "batch_stats": stats},
+        "optim_state": None,
+    }

@@ -90,7 +90,8 @@ def make_train_step(model: Sg2ScVAE, tx: optax.GradientTransformation,
                 batch, rng_z, train_flag, mutable=["batch_stats"])
             kl_w = kl_weight_at(state.step + 1, cfg.train)
             total, losses = vae_losses(batch, mu, logvar, boxes_pred,
-                                       angle_lp, kl_w, use_ae)
+                                       angle_lp, kl_w, use_ae,
+                                       cfg.train.kl_free_bits)
             return total, (losses, mut.get("batch_stats", {}))
 
         (total, (losses, new_stats)), grads = jax.value_and_grad(

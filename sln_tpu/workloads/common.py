@@ -42,6 +42,13 @@ def restore_model(cfg: Config, example_batch, allow_random: bool = False):
     path = ckpt_lib.latest_path(cfg.train.output_dir,
                                 cfg.train.checkpoint_name)
     ckpt = ckpt_lib.load_checkpoint(path)
+    if ckpt is None:
+        # reference-trained torch checkpoint drop-in (train.py:99 format)
+        pt_path = ckpt_lib.reference_pt_path(cfg.train.output_dir,
+                                             cfg.train.checkpoint_name)
+        ckpt = ckpt_lib.load_reference_checkpoint(pt_path, cfg.model)
+        if ckpt is not None:
+            path = pt_path
     if ckpt is not None:
         ms = ckpt["model_state"]
         variables = {"params": ms["params"],

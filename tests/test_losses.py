@@ -63,3 +63,68 @@ def test_losses_match_reference():
                                ref_losses["angle_pred"], rtol=1e-5)
     np.testing.assert_allclose(float(losses["KLD_Gauss"]),
                                ref_losses["KLD_Gauss"], rtol=1e-5)
+
+
+def _toy_batch(B=2, O=4, latent=8, seed=0):
+    rng = np.random.default_rng(seed)
+    mask = np.ones((B, O), bool)
+    batch = make_scene_batch(
+        np.zeros((B, O), np.int32),
+        rng.standard_normal((B, O, 6)).astype(np.float32),
+        rng.integers(0, 24, (B, O)).astype(np.int32),
+        np.zeros((B, O), np.int32), mask,
+        np.zeros((B, 4, 3), np.int32), np.zeros((B, 4), bool))
+    logits = rng.standard_normal((B, O, 24)).astype(np.float32)
+    logprobs = jnp.asarray(logits) - jnp.log(
+        jnp.exp(jnp.asarray(logits)).sum(-1, keepdims=True))
+    boxes_pred = jnp.asarray(
+        rng.standard_normal((B, O, 6)).astype(np.float32))
+    return batch, boxes_pred, logprobs, latent
+
+
+def test_free_bits_zero_is_parity():
+    """kl_free_bits=0 must change nothing vs the reference formula."""
+    batch, boxes_pred, logprobs, latent = _toy_batch()
+    B, O = batch.obj_mask.shape
+    rng = np.random.default_rng(1)
+    mu = jnp.asarray(rng.standard_normal((B, O, latent)).astype(np.float32))
+    lv = jnp.asarray(
+        (0.3 * rng.standard_normal((B, O, latent))).astype(np.float32))
+    t0, l0 = vae_losses(batch, mu, lv, boxes_pred, logprobs, 0.1)
+    t1, l1 = vae_losses(batch, mu, lv, boxes_pred, logprobs, 0.1,
+                        kl_free_bits=0.0)
+    np.testing.assert_allclose(float(t0), float(t1), rtol=1e-7)
+    np.testing.assert_allclose(float(l0["KLD_Gauss"]),
+                               float(l1["KLD_Gauss"]), rtol=1e-7)
+
+
+def test_free_bits_floors_collapsed_dims():
+    """A collapsed posterior (mu=0, logvar=0 -> KL=0) pays the floor but
+    gets NO gradient pushing it further down; an active posterior above
+    the floor keeps the exact reference gradient."""
+    import jax
+
+    batch, boxes_pred, logprobs, latent = _toy_batch()
+    B, O = batch.obj_mask.shape
+    fb = 0.05
+
+    def kld(mu, lv, free_bits):
+        _, losses = vae_losses(batch, mu, lv, boxes_pred, logprobs, 1.0,
+                               kl_free_bits=free_bits)
+        return losses["KLD_Gauss"]
+
+    # collapsed: penalty = floor * D, zero grad
+    mu0 = jnp.zeros((B, O, latent))
+    lv0 = jnp.zeros((B, O, latent))
+    val = float(kld(mu0, lv0, fb))
+    np.testing.assert_allclose(val, fb * latent, rtol=1e-6)
+    g = jax.grad(kld)(mu0, lv0, fb)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-9)
+
+    # active (KL per dim >> floor): same value and grad as free_bits=0
+    mu1 = jnp.full((B, O, latent), 2.0)
+    np.testing.assert_allclose(float(kld(mu1, lv0, fb)),
+                               float(kld(mu1, lv0, 0.0)), rtol=1e-6)
+    g1 = jax.grad(kld)(mu1, lv0, fb)
+    g0 = jax.grad(kld)(mu1, lv0, 0.0)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-6)

@@ -61,6 +61,10 @@ def parse_args(argv=None):
                    type=lambda s: s in ("1", "true", "True"))
     p.add_argument("--manual_seed", default=42, type=int)
     # TPU-native additions
+    p.add_argument("--KL_free_bits", default=0.0, type=float,
+                   help="per-dim KL floor (free bits); 0 = reference "
+                        "parity. Guards refinement against posterior "
+                        "collapse on long runs (CLAUDE.md modeling note)")
     p.add_argument("--synthetic", default=0, type=int,
                    help="train on N synthetic rooms instead of SUNCG json")
     p.add_argument("--max_objects", default=32, type=int)
@@ -89,7 +93,8 @@ def config_from_args(args) -> Config:
             batch_size=args.batch_size, num_iterations=args.num_iterations,
             learning_rate=args.learning_rate,
             kl_loss_weight=args.KL_loss_weight,
-            kl_linear_decay=args.KL_linear_decay, seed=args.manual_seed,
+            kl_linear_decay=args.KL_linear_decay,
+            kl_free_bits=args.KL_free_bits, seed=args.manual_seed,
             print_every=args.print_every,
             checkpoint_every=args.checkpoint_every,
             snapshot_every=args.snapshot_every,
