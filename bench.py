@@ -1,38 +1,66 @@
 #!/usr/bin/env python
-"""Headline benchmark: sampled layouts/sec/chip.
+"""North-star benchmarks, one JSON line each (driver parses the LAST line
+= the headline layouts/s metric; BASELINE.md holds the targets):
 
-Reproduces the reference's heatmap workload (testing/test_heatmap.py:10-64:
-20,000 sequential decoder calls on one 6-node scene graph) as a single
-batched jitted program: z ~ N(mean, cov) via on-device Cholesky sampling,
-then the Sg2ScVAE decoder over thousands of scenes per step.
+  refine_render_grad_steps_per_sec            >= 200/s   (96px, loss-pyramid top)
+  refine_render_grad_steps_per_sec_batched_8  aggregate serving config
+  refine_render_grad_steps_per_sec_256px      strict reference parity size
+  spade_imgs_per_sec_256px                    SPADEGenerator4 ngf=64 @256px
+  eval_scene_graph_acc / eval_l1_pred / ...   quality on the committed
+                                              3k-iter checkpoint (ties the
+                                              throughput to real metrics)
+  sampled_layouts_per_sec_per_chip            >= 5000/s  (headline, printed
+                                              last; uses the trained model
+                                              + real posterior mean/cov
+                                              when the artifact exists)
 
-Prints ONE JSON line {metric, value, unit, vs_baseline}. vs_baseline is
-relative to the driver-set north-star target of 5,000 layouts/sec/chip
-(BASELINE.md — the reference publishes no numbers).
+The reference workloads these mirror: 20k sequential decoder calls
+(testing/test_heatmap.py:10-64), 60 SGD iters x ~37 rasterizer passes at
+256px (test_render_refine.py:269, diff_render.py:359-431), and 50
+SPADE z-samples at 256px (test.py:94, test_SPADE_shade.py:74).
+
+`--quick` prints only the headline line.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 TARGET_LAYOUTS_PER_SEC = 5000.0
+ARTIFACT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "artifacts")
 
 
-def bench_refine(num_rooms: int = 1) -> dict:
+def _emit(rec: dict) -> None:
+    print(json.dumps(rec), flush=True)
+
+
+def _fail(name: str, e: Exception) -> None:
+    print(f"bench {name} failed: {type(e).__name__}: {e}", file=sys.stderr,
+          flush=True)
+
+
+# ---------------------------------------------------------------------------
+# refinement: render-grad steps/sec
+# ---------------------------------------------------------------------------
+def bench_refine(num_rooms: int = 1, render_size: int = None,
+                 steps: int = 240) -> dict:
     """Refinement render-grad steps/sec (north star: >= 200/s).
 
     num_rooms > 1 refines independent rooms simultaneously in one device
     program (the serving configuration); the reported rate is aggregate
-    room-steps/sec."""
-    import dataclasses
-    import time as _time
-
+    room-steps/sec. render_size=256 is the reference's strict render size
+    (it renders 256 then pools to <=96; we render at the pyramid top by
+    default, config.py RefineConfig.render_size)."""
+    import dataclasses as dc
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from sln_tpu.config import DataConfig, default_config
     from sln_tpu.data.augment import build_graphs
@@ -43,6 +71,9 @@ def bench_refine(num_rooms: int = 1) -> dict:
     B = num_rooms
     cfg = default_config().replace(
         data=DataConfig(max_objects=16, max_triples=48, max_on_rels=16))
+    if render_size:
+        cfg = cfg.replace(refine=dc.replace(cfg.refine,
+                                            render_size=render_size))
     val_arrays, size_info = common.load_arrays(max(B, 8), cfg,
                                                synthetic_seed=3)
     batch = build_graphs(
@@ -55,7 +86,6 @@ def bench_refine(num_rooms: int = 1) -> dict:
     variables = model.init(jax.random.PRNGKey(0), batch, None, False)
     bank_host = assets.build_procedural_bank(cfg.render.mesh_subdiv)
     bank = scene_lib.device_bank(bank_host, cfg.render.shell_subdiv)
-    import dataclasses as dc
     rcfg = dc.replace(cfg.render, camera=dc.replace(
         cfg.render.camera, image_size=cfg.refine.render_size))
     room_row = (batch.boxes * batch.room_mask[..., None]).sum(
@@ -79,74 +109,184 @@ def bench_refine(num_rooms: int = 1) -> dict:
     opt = tx.init((z0, variables["params"]))
     state = refine.RefineState(z0, variables["params"], opt,
                                jnp.zeros((), jnp.int32))
-    N = 240
-    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    keys = jax.random.split(jax.random.PRNGKey(0), steps)
     s2, _ = run_scan(state, keys)
     jax.block_until_ready(s2.z)
-    t0 = _time.perf_counter()
+    t0 = time.perf_counter()
     s2, _ = run_scan(state, keys)
     jax.block_until_ready(s2.z)
-    rate = N * B / (_time.perf_counter() - t0)
+    rate = steps * B / (time.perf_counter() - t0)
     suffix = "" if B == 1 else f"_batched_{B}_rooms"
+    if render_size and render_size != 96:
+        suffix += f"_{render_size}px"
     return {"metric": f"refine_render_grad_steps_per_sec{suffix}",
             "value": round(rate, 1), "unit": "room-steps/s",
             "vs_baseline": round(rate / 200.0, 3)}
 
 
-def main():
-    import argparse
-
+# ---------------------------------------------------------------------------
+# SPADE shading: 256px imgs/sec
+# ---------------------------------------------------------------------------
+def bench_spade(batch: int = 10, steps: int = 10) -> dict:
+    """SPADEGenerator4 at full reference size (ngf=64, 256px, z-batches
+    of `batch` like colorize's z_chunk). Tracked metric (no fixed floor,
+    BASELINE.md)."""
     import jax
     import jax.numpy as jnp
 
+    from sln_tpu.config import default_config
+    from sln_tpu.workloads.gan_shade import make_spade_model
+
+    cfg = default_config()
+    model, params = make_spade_model(cfg, checkpoint_path=os.path.join(
+        ARTIFACT_DIR, "latest_net_G_AB.pth"))
+    seg = jnp.zeros((batch, cfg.spade.crop_size, cfg.spade.crop_size,
+                     cfg.spade.semantic_nc), jnp.float32)
+    z = jax.random.normal(jax.random.PRNGKey(0), (batch, cfg.spade.nz))
+    # params as jit args — closing over them overflows the remote-compile
+    # request (HTTP 413) at this size
+    run = jax.jit(lambda p, s, z: model.apply({"params": p}, s, z))
+    out = run(params, seg, z)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        out = run(params, seg, z + i)
+    jax.block_until_ready(out)
+    rate = steps * batch / (time.perf_counter() - t0)
+    return {"metric": "spade_imgs_per_sec_256px", "value": round(rate, 1),
+            "unit": "imgs/s", "vs_baseline": None}
+
+
+# ---------------------------------------------------------------------------
+# trained model + real posterior (quality-linked throughput)
+# ---------------------------------------------------------------------------
+def _load_bench_model():
+    """Committed 3k-iter checkpoint (artifacts/, see README bench notes) +
+    posterior mean/cov over the same synthetic train distribution."""
+    import jax.numpy as jnp
+
+    from sln_tpu.config import default_config, TrainConfig
+    from sln_tpu.workloads import common, posterior
+
+    cfg = default_config().replace(
+        train=TrainConfig(output_dir=ARTIFACT_DIR, checkpoint_name="bench"))
+    train_arrays, size_info = common.load_arrays(4096, cfg,
+                                                 synthetic_seed=42)
+    model, variables = common.restore_model(cfg, example_batch=None)
+    mean, cov = posterior.get_or_compute_mean_cov(
+        model, variables, train_arrays, size_info, cfg, ARTIFACT_DIR)
+    return cfg, model, variables, mean, cov, size_info
+
+
+def bench_quality(setup) -> list:
+    """L1 / scene-graph acc / sample std on the trained checkpoint — the
+    reference's printed eval triplet (test_acc_mean_std.py:67-69,123-124),
+    emitted so throughput is never reported without quality."""
+    from sln_tpu.workloads import acc_l1_std, common
+
+    cfg, model, variables, mean, cov, size_info = setup
+    val_arrays, _ = common.load_arrays(512, cfg, synthetic_seed=7)
+    res = acc_l1_std.run_acc_l1(model, variables, val_arrays, size_info,
+                                cfg, mean, cov, batch_size=256)
+    std = acc_l1_std.run_std(model, variables, val_arrays, size_info, cfg,
+                             mean, cov, nsample=10, batch_size=256)
+    out = [
+        {"metric": "eval_scene_graph_acc", "value": round(res["acc_pred"], 4),
+         "unit": "acc (rand %.3f, pert %.3f)" % (res["acc_rand"],
+                                                 res["acc_pert"]),
+         "vs_baseline": round(res["acc_pred"] / max(res["acc_pert"], 1e-9),
+                              3)},
+        {"metric": "eval_l1_pred", "value": round(res["l1_pred"], 4),
+         "unit": "L1 (rand %.3f, pert %.3f)" % (res["l1_rand"],
+                                                res["l1_pert"]),
+         "vs_baseline": None},
+        {"metric": "eval_std_pos", "value": round(std["std_pos"], 4),
+         "unit": "std (angle %.3f, size %.3f)" % (std["std_angle"],
+                                                  std["std_size"]),
+         "vs_baseline": None},
+    ]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# headline: sampled layouts/sec/chip
+# ---------------------------------------------------------------------------
+def bench_layouts(setup=None) -> dict:
+    """The reference heatmap workload (20k sequential decoder calls on one
+    scene graph, test_heatmap.py:10-64) as one batched jitted program:
+    z ~ N(mean, cov) via on-device Cholesky, decoded over thousands of
+    scenes per step. Uses the trained checkpoint + real posterior when
+    available so the rate is measured at real quality."""
+    import jax
+
     from sln_tpu.config import default_config, DataConfig
     from sln_tpu.models.vae import Sg2ScVAE
-    from sln_tpu.workloads.heatmap import (heatmap_scene_batch,
-                                           make_sampler)
-
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--full", action="store_true",
-                    help="also benchmark refinement steps/sec")
-    opts = ap.parse_args()
+    from sln_tpu.workloads.heatmap import heatmap_scene_batch, make_sampler
 
     cfg = default_config()
     cfg = cfg.replace(data=DataConfig(max_objects=8, max_triples=24,
                                       max_on_rels=8))
-
     # the reference's default 5-object scene graph (test_heatmap.py:41-43)
     batch_size = 4096
     batch = heatmap_scene_batch(batch_size, max_objects=8, max_triples=24)
-
     model = Sg2ScVAE(cfg.model)
-    variables = model.init(jax.random.PRNGKey(0), batch, None, False)
-
-    latent = cfg.model.latent_dim
-    mean = np.zeros((latent,), np.float32)
-    cov = np.eye(latent, dtype=np.float32)
+    if setup is not None:
+        _, _, variables, mean, cov, _ = setup
+    else:
+        variables = model.init(jax.random.PRNGKey(0), batch, None, False)
+        latent = cfg.model.latent_dim
+        mean = np.zeros((latent,), np.float32)
+        cov = np.eye(latent, dtype=np.float32)
     sample_fn = make_sampler(model, variables, batch, mean, cov)
 
-    # warmup / compile
     key = jax.random.PRNGKey(42)
     boxes, angles = sample_fn(key)
     jax.block_until_ready(boxes)
-
     steps = 40
     t0 = time.perf_counter()
     for i in range(steps):
         boxes, angles = sample_fn(jax.random.fold_in(key, i))
     jax.block_until_ready(boxes)
     dt = time.perf_counter() - t0
+    rate = steps * batch_size / dt
+    return {"metric": "sampled_layouts_per_sec_per_chip",
+            "value": round(rate, 1), "unit": "layouts/s",
+            "vs_baseline": round(rate / TARGET_LAYOUTS_PER_SEC, 3)}
 
-    layouts_per_sec = steps * batch_size / dt
-    print(json.dumps({
-        "metric": "sampled_layouts_per_sec_per_chip",
-        "value": round(layouts_per_sec, 1),
-        "unit": "layouts/s",
-        "vs_baseline": round(layouts_per_sec / TARGET_LAYOUTS_PER_SEC, 3),
-    }))
-    if opts.full:
-        print(json.dumps(bench_refine()))
-        print(json.dumps(bench_refine(num_rooms=8)))
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="headline layouts/s only")
+    ap.add_argument("--full", action="store_true",
+                    help="(default behavior; kept for compatibility)")
+    opts = ap.parse_args()
+
+    setup = None
+    if not opts.quick:
+        for fn, name in (
+                (lambda: bench_refine(), "refine_96px"),
+                (lambda: bench_refine(num_rooms=8), "refine_batched"),
+                (lambda: bench_refine(render_size=256, steps=120),
+                 "refine_256px"),
+                (bench_spade, "spade_256px")):
+            try:
+                _emit(fn())
+            except Exception as e:
+                _fail(name, e)
+        try:
+            setup = _load_bench_model()
+            for rec in bench_quality(setup):
+                _emit(rec)
+        except Exception as e:
+            _fail("quality", e)
+            setup = None
+    try:
+        _emit(bench_layouts(setup))
+    except Exception as e:
+        # never end without a headline line: random-weight fallback
+        _fail("layouts_with_checkpoint", e)
+        _emit(bench_layouts(None))
 
 
 if __name__ == "__main__":

@@ -1,16 +1,17 @@
-"""Optional Blender subprocess bridge (photoreal renders).
+"""Blender subprocess bridge (photoreal renders + semantic/depth maps).
 
-The reference shells out to Blender 2.79 for photoreal Cycles renders and
-semantic/depth maps (testing/test_plot3d.py:4-8, render/*.py). In this
-framework the differentiable rasterizer is the primary mask/depth source
-(sln_tpu.workloads.gan_shade) — Blender remains available as an *optional*
-host-side tool for photoreal output, invoked exactly like the reference:
+The reference shells out to Blender 2.79 (testing/test_plot3d.py:4-8,
+render/*.py). This framework ships its own modern-Blender scripts
+(sln_tpu/render/blender/render_color.py and render_semantic_depth.py),
+invoked with the exact reference contract:
 
     blender -b -P <script> -- <test_dir>
 
-The bridge exports generated layouts (data_extracted.json already matches
-the reference schema) and spawns the subprocess when a blender binary is
-on PATH; otherwise it raises with a pointer to the rasterizer path.
+The differentiable rasterizer remains the primary mask/depth source
+(sln_tpu.workloads.gan_shade — no process boundary); Blender is the
+photoreal / external-validation path. The bridge spawns the subprocess
+when a blender binary is on PATH; otherwise it raises with a pointer to
+the rasterizer path.
 """
 
 from __future__ import annotations
@@ -19,6 +20,12 @@ import os
 import shutil
 import subprocess
 from typing import Optional
+
+_BLENDER_SCRIPTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "blender")
+DEFAULT_COLOR_SCRIPT = os.path.join(_BLENDER_SCRIPTS, "render_color.py")
+DEFAULT_MASK_DEPTH_SCRIPT = os.path.join(_BLENDER_SCRIPTS,
+                                         "render_semantic_depth.py")
 
 
 class BlenderNotAvailable(RuntimeError):
@@ -52,26 +59,19 @@ def run_blender_script(script_path: str, test_dir: str,
 def run_color_render(test_dir: str, blender_path: Optional[str] = None,
                      script: Optional[str] = None):
     """Photoreal Cycles render of generated layouts (reference
-    render/render_caller.py -> render_room_color.py). Requires a
-    reference-compatible blender-side script."""
-    if script is None:
-        raise BlenderNotAvailable(
-            "Pass the blender-side render script (the reference's "
-            "render/render_room_color.py works against "
-            "data/data_extracted.json produced by test.py --batch_gen).")
-    return run_blender_script(script, test_dir, blender_path)
+    render/render_caller.py -> render_room_color.py). Defaults to the
+    bundled modern-Blender script; pass `script` to override."""
+    return run_blender_script(script or DEFAULT_COLOR_SCRIPT, test_dir,
+                              blender_path)
 
 
 def run_mask_depth_render(test_dir: str,
                           blender_path: Optional[str] = None,
                           script: Optional[str] = None):
     """Semantic masks + EXR depth via Blender (reference
-    render/semantic_depth_caller.py). The rasterizer path
-    (gan_shade.layout_channels_to_spade_input) supersedes this; outputs of
-    this bridge are consumed by gan_shade.spade_input_from_files."""
-    if script is None:
-        raise BlenderNotAvailable(
-            "Pass the blender-side script (the reference's "
-            "render/render_semantic_depth.py). Alternatively use the "
-            "rasterizer-backed path: test.py --gan_shade needs no Blender.")
-    return run_blender_script(script, test_dir, blender_path)
+    render/semantic_depth_caller.py), defaulting to the bundled script.
+    The rasterizer path (gan_shade.layout_channels_to_spade_input)
+    supersedes this for speed; outputs here are consumed by
+    gan_shade.spade_input_from_files."""
+    return run_blender_script(script or DEFAULT_MASK_DEPTH_SCRIPT,
+                              test_dir, blender_path)

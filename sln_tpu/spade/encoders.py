@@ -97,6 +97,55 @@ class ConvEncoderPSPSE(nn.Module):
         return nn.Dense(self.output_nc, name="fc_z")(x)
 
 
+class ConvEncoderPSPSEMMD(nn.Module):
+    """Deterministic z-encoder for MMD training (reference
+    ConvEncoder_PSP_SE_MMD :909-951): the PSP-SE trunk of
+    ConvEncoderPSPSE, but a single z head behind a 512-wide ReLU
+    pre-layer instead of (mu, logvar)."""
+    nef: int = 64
+    output_nc: int = 256
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if x.shape[1] != 256 or x.shape[2] != 256:
+            x = resize_bilinear(x, 256, 256)
+        nef = self.nef
+        x = SEResBlock3(nef, 1, name="layer1")(x, train)
+        x = SEResBlock3(nef * 2, 2, name="layer2")(x, train)
+        x = SEResBlock3(nef * 4, 2, name="layer3")(x, train)
+        x = PSPModule(nef * 8, name="psp")(x)
+        x = SEResBlock3(nef * 8, 2, name="layer4")(x, train)
+        x = SEResBlock3(nef * 16, 2, name="layer5")(x, train)
+        x = x.mean(axis=(1, 2))
+        x = nn.leaky_relu(x, 0.2)
+        x = nn.relu(nn.Dense(512, name="fc_z_pre")(x))
+        return nn.Dense(self.output_nc, name="fc_z")(x)
+
+
+class ConvEncoderPSPSEMMD2(nn.Module):
+    """Second MMD encoder variant (reference ConvEncoder_PSP_SE_MMD_2
+    :953-979): six stride-2 SE blocks, no PSP, and the 4x4 spatial map
+    flattened (not pooled) into the 512-wide LeakyReLU pre-layer."""
+    nef: int = 64
+    output_nc: int = 256
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if x.shape[1] != 256 or x.shape[2] != 256:
+            x = resize_bilinear(x, 256, 256)
+        nef = self.nef
+        x = SEResBlock3(nef, 2, name="layer1")(x, train)
+        x = SEResBlock3(nef * 2, 2, name="layer2")(x, train)
+        x = SEResBlock3(nef * 4, 2, name="layer3")(x, train)
+        x = SEResBlock3(nef * 8, 2, name="layer4")(x, train)
+        x = SEResBlock3(nef * 16, 2, name="layer5")(x, train)
+        x = SEResBlock3(nef * 16, 2, name="layer6")(x, train)
+        x = nn.leaky_relu(x, 0.2)
+        x = x.reshape(x.shape[0], -1)        # (B, 4*4*16nef) at 256px
+        x = nn.leaky_relu(nn.Dense(512, name="fc_z_pre")(x), 0.2)
+        return nn.Dense(self.output_nc, name="fc_z")(x)
+
+
 class NLayerDiscriminatorMMD(nn.Module):
     """pix2pixHD body + decide/z_out heads (reference :1237-1296).
 

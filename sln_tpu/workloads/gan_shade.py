@@ -42,6 +42,15 @@ def layout_channels_to_spade_input(channels: np.ndarray) -> np.ndarray:
                           axis=0).transpose(1, 2, 0).astype(np.float32)
 
 
+def mask_class_from_stem(stem: str) -> str:
+    """Mask filename stem -> underscored class name. Artifact names are
+    `<room>_pred_<kk>_<class>` (reference semantic_depth_caller.py:46 +
+    render_semantic_depth.py:445), so the class is everything past the
+    third underscore."""
+    parts = stem.split("_")
+    return "_".join(parts[3:]) if len(parts) > 3 else parts[-1]
+
+
 def spade_input_from_files(semantic_dir: str, room: str = "") -> np.ndarray:
     """Read Blender-produced EXR depth + mask PNGs (reference
     test_SPADE_shade.py:44-76). Optional path for external renders."""
@@ -50,10 +59,18 @@ def spade_input_from_files(semantic_dir: str, room: str = "") -> np.ndarray:
 
     files = [os.path.join(semantic_dir, f)
              for f in os.listdir(semantic_dir) if room in f]
-    depths = [f for f in files if f.endswith(".exr")]
+    # depth: EXR (the reference contract) or the .npy sidecar our Blender
+    # script writes alongside it (EXR readers are an optional extra)
+    npys = sorted(f for f in files if f.endswith("_depth.npy"))
+    exrs = sorted(f for f in files if f.endswith(".exr"))
     masks = [f for f in files if "depth" not in f and "orig" not in f
-             and not f.endswith(".exr")]
-    depth = imageio.imread(depths[0])[..., 0]
+             and not f.endswith((".exr", ".npy"))]
+    if npys:
+        depth = np.load(npys[0])
+    else:
+        depth = np.asarray(imageio.imread(exrs[0]))
+    if depth.ndim == 3:
+        depth = depth[..., 0]
     depth = depth - depth.min()
     dmax = depth[depth < 20].max()
     depth = np.clip(depth, 0, dmax) / dmax
@@ -63,10 +80,10 @@ def spade_input_from_files(semantic_dir: str, room: str = "") -> np.ndarray:
     classes_us = [c.replace(" ", "_") for c in NYU40_CLASSES]
     for path in masks:
         stem = os.path.basename(path).split(".")[0]
-        parts = stem.split("_")
-        name = "_".join(parts[3:]) if len(parts) > 3 else parts[-1]
+        name = mask_class_from_stem(stem)
         if name in classes_us:
-            buf[classes_us.index(name)] = imageio.imread(path)[..., 0]
+            buf[classes_us.index(name)] = np.asarray(
+                imageio.imread(path))[..., 0]
     buf = (buf > 120).astype(np.float32)
     total = np.concatenate([depth[None].astype(np.float32), buf], axis=0)
     return total.transpose(1, 2, 0)
@@ -120,10 +137,13 @@ def colorize(model, params, spade_input: np.ndarray, num_z: int,
 
     seg = jnp.asarray(spade_input)[None]
 
+    # params must be jit ARGUMENTS: closing over them bakes ~100M floats
+    # into the compile request as constants, which overflows the remote
+    # tunnel's request limit (HTTP 413) at ngf=64 / 256px.
     @jax.jit
-    def run(z):
+    def run(p, seg, z):
         seg_b = jnp.broadcast_to(seg, (z.shape[0],) + seg.shape[1:])
-        return model.apply({"params": params}, seg_b, z)
+        return model.apply({"params": p}, seg_b, z)
 
     outs = []
     key = jax.random.PRNGKey(seed)
@@ -132,19 +152,38 @@ def colorize(model, params, spade_input: np.ndarray, num_z: int,
         n = min(z_chunk, num_z - done)
         z = jax.random.normal(jax.random.fold_in(key, done),
                               (z_chunk, model.nz))
-        outs.append(np.asarray(run(z))[:n])
+        outs.append(np.asarray(run(params, seg, z))[:n])
         done += n
     rgb = np.concatenate(outs, axis=0)
     return (rgb + 1.0) / 2.0
+
+
+def resize_spade_input(spade_in: np.ndarray, crop: int) -> np.ndarray:
+    """(S, S, 41) -> (crop, crop, 41): bilinear depth, nearest-ish masks
+    re-binarized (the reference resizes its 1024px Blender reads to 256,
+    test_SPADE_shade.py:74)."""
+    if spade_in.shape[0] == crop:
+        return spade_in
+    import jax
+    out = np.asarray(jax.image.resize(spade_in, (crop, crop,
+                                                 spade_in.shape[-1]),
+                                      method="bilinear"))
+    out[..., 1:] = (out[..., 1:] > 0.5).astype(np.float32)
+    return out
 
 
 def run_gan_shade(vae_model, vae_variables, val_arrays: Dict[str,
                                                              np.ndarray],
                   size_info: SizeInfo, cfg: Config, num_z: int,
                   save_dir: str, rooms=None,
-                  spade_checkpoint: Optional[str] = None) -> None:
+                  spade_checkpoint: Optional[str] = None,
+                  semantic_dir: Optional[str] = None) -> None:
     """Render selected val rooms with the rasterizer, colorize with SPADE,
     save `<room>_<k>_color.png` like save_color (test_SPADE_shade.py:16-27).
+
+    semantic_dir: read Blender-produced masks/depth from this directory
+    (written by sln_tpu/render/blender/render_semantic_depth.py) instead
+    of rasterizing — the reference's two-process pipeline (test.py:79-95).
     """
     import dataclasses
 
@@ -170,16 +209,21 @@ def run_gan_shade(vae_model, vae_variables, val_arrays: Dict[str,
 
     for idx in sel:
         room_id = int(ids[idx])
-        batch = build_graphs(
-            jax.random.PRNGKey(0),
-            jnp.asarray(val_arrays["objs"][idx:idx + 1]),
-            jnp.asarray(val_arrays["boxes"][idx:idx + 1]),
-            jnp.asarray(val_arrays["angles"][idx:idx + 1]),
-            jnp.asarray(val_arrays["obj_mask"][idx:idx + 1]),
-            jnp.asarray(val_arrays["room_ids"][idx:idx + 1]), size_info,
-            max_on_rels=cfg.data.max_on_rels)
-        channels = render_scene_channels(batch, bank_host, bank, rcfg)
-        spade_in = layout_channels_to_spade_input(np.asarray(channels))
+        if semantic_dir is not None:
+            spade_in = spade_input_from_files(semantic_dir,
+                                              room=str(room_id))
+            spade_in = resize_spade_input(spade_in, cfg.spade.crop_size)
+        else:
+            batch = build_graphs(
+                jax.random.PRNGKey(0),
+                jnp.asarray(val_arrays["objs"][idx:idx + 1]),
+                jnp.asarray(val_arrays["boxes"][idx:idx + 1]),
+                jnp.asarray(val_arrays["angles"][idx:idx + 1]),
+                jnp.asarray(val_arrays["obj_mask"][idx:idx + 1]),
+                jnp.asarray(val_arrays["room_ids"][idx:idx + 1]),
+                size_info, max_on_rels=cfg.data.max_on_rels)
+            channels = render_scene_channels(batch, bank_host, bank, rcfg)
+            spade_in = layout_channels_to_spade_input(np.asarray(channels))
         rgb = colorize(model, params, spade_in, num_z)
         for k in range(num_z):
             plt.imsave(os.path.join(

@@ -249,11 +249,17 @@ def _single_scene_batch(val_arrays, size_info, cfg, room_id) -> SceneBatch:
         use_attr_30=cfg.data.use_attr_30)
 
 
-def save_channel_images(img: np.ndarray, folder: str, prefix: str) -> None:
-    """Depth PNG (+ optional class masks) like save_images (:144-163)."""
+def save_channel_images(img: np.ndarray, folder: str, prefix: str,
+                        save_semantic: bool = False) -> None:
+    """Depth PNG + GIF (+ optional per-class mask GIFs) — the reference
+    save_images artifact set (test_render_refine.py:144-163 writes
+    `<prefix>_depth.gif` and `<prefix>_<class>.gif` single-frame GIFs)."""
+    import imageio.v2 as imageio
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+
+    from sln_tpu.data.vocab import NYU40_CLASSES
 
     os.makedirs(folder, exist_ok=True)
     depth = img[0].copy()
@@ -262,11 +268,23 @@ def save_channel_images(img: np.ndarray, folder: str, prefix: str) -> None:
     depth = np.clip(depth, 0, finite_max) / max(finite_max, 1e-6)
     plt.imsave(os.path.join(folder, f"{prefix}_depth.png"), depth,
                cmap="gray")
+    imageio.imwrite(os.path.join(folder, f"{prefix}_depth.gif"),
+                    (depth * 255.0).astype(np.uint8))
+    if save_semantic:
+        for i, cls in enumerate(NYU40_CLASSES):
+            mask = np.clip(img[1 + i], 0.0, 1.0)
+            if mask.max() <= 0:
+                continue  # skip empty classes (file-count sanity)
+            imageio.imwrite(
+                os.path.join(folder,
+                             f"{prefix}_{cls.replace(' ', '_')}.gif"),
+                (mask * 255.0).astype(np.uint8))
 
 
 def finetune_rooms(model, variables, val_arrays, size_info: SizeInfo,
                    cfg: Config, room_ids, save_dirs,
-                   num_iters: int = None, subdiv: int = None) -> dict:
+                   num_iters: int = None, subdiv: int = None,
+                   save_semantic: bool = False) -> dict:
     """Reference finetune_VAE (:243-377). Returns per-room loss history."""
     import dataclasses
 
@@ -332,7 +350,8 @@ def finetune_rooms(model, variables, val_arrays, size_info: SizeInfo,
             _, imgs, boxes_pred, ang = snapshot(state, keys[min(
                 k, num_iters - 1)])
             save_channel_images(np.asarray(imgs)[0], save_dir,
-                                str(k).zfill(3))
+                                str(k).zfill(3),
+                                save_semantic=save_semantic)
             with open(os.path.join(save_dir, f"bbox_rot_{k}.pkl"),
                       "wb") as f:
                 pickle.dump([room_id, np.asarray(boxes_pred[0]),

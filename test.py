@@ -40,8 +40,18 @@ def parse_args(argv=None):
                    help="z samples for gan_shade (reference test.py:94)")
     p.add_argument("--room_ids", default="", type=str,
                    help="comma-separated room ids for --fine_tune")
+    p.add_argument("--save_semantic_gifs", action="store_true",
+                   help="also dump per-class mask GIFs during --fine_tune "
+                        "(reference save_images save_semantic flag)")
     p.add_argument("--blender_path", default="", type=str)
     p.add_argument("--blender_script", default="", type=str)
+    p.add_argument("--semantic_source", default="rasterizer",
+                   choices=["rasterizer", "blender", "files"],
+                   help="gan_shade mask/depth source: in-process "
+                        "rasterizer (default), a Blender subprocess run "
+                        "(the reference pipeline, test.py:79-95), or "
+                        "pre-existing files in "
+                        "<test_dir>/data/semantic_masks")
     p.add_argument("--spade_crop", default=256, type=int,
                    help="SPADE render size (reference: 256)")
     p.add_argument("--spade_ngf", default=64, type=int,
@@ -168,15 +178,17 @@ def main(argv=None):
         return
 
     if args.draw_3d:
-        # Photoreal rendering is an optional Blender subprocess
-        # (reference testing/test_plot3d.py); the rasterizer path covers
-        # masks/depth without it (--gan_shade).
+        # Photoreal Cycles render via the bundled modern-Blender script
+        # (sln_tpu/render/blender/render_color.py); same subprocess
+        # contract as the reference (testing/test_plot3d.py:4-8). Needs a
+        # blender binary on PATH (or --blender_path).
         from sln_tpu.render import blender_bridge
         try:
             blender_bridge.run_color_render(
                 args.test_dir, args.blender_path or None,
                 args.blender_script or None)
-            print("Blender render finished")
+            print("Blender render finished; images in "
+                  f"{os.path.join(args.test_dir, 'data', 'rendered')}")
         except blender_bridge.BlenderNotAvailable as e:
             print(f"draw_3d unavailable: {e}")
         return
@@ -189,7 +201,8 @@ def main(argv=None):
         base = os.path.join(args.test_dir, "data", "finetune")
         os.makedirs(base, exist_ok=True)
         dirs = [os.path.join(base, r) for r in room_ids]
-        refine.finetune_rooms(model, variables, va, si, cfg, room_ids, dirs)
+        refine.finetune_rooms(model, variables, va, si, cfg, room_ids, dirs,
+                              save_semantic=args.save_semantic_gifs)
         return
 
     if args.gan_shade:
@@ -197,8 +210,20 @@ def main(argv=None):
         model, variables, tr, va, si = setup(args, cfg)
         out_dir = os.path.join(args.test_dir, "data", "SPADE_out")
         os.makedirs(out_dir, exist_ok=True)
+        semantic_dir = None
+        if args.semantic_source != "rasterizer":
+            semantic_dir = os.path.join(args.test_dir, "data",
+                                        "semantic_masks")
+            if args.semantic_source == "blender":
+                # the reference's two-process chain (test.py:79-95):
+                # Blender masks/depth first, then SPADE over the files
+                from sln_tpu.render import blender_bridge
+                blender_bridge.run_mask_depth_render(
+                    args.test_dir, args.blender_path or None,
+                    args.blender_script or None)
         gan_shade.run_gan_shade(model, variables, va, si, cfg,
-                                num_z=args.num_z, save_dir=out_dir)
+                                num_z=args.num_z, save_dir=out_dir,
+                                semantic_dir=semantic_dir)
         return
 
     print("No mode selected; see --help")

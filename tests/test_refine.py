@@ -150,15 +150,22 @@ def test_refine_loop_runs_and_writes_artifacts(tmp_path):
     room_id = str(int(val_arrays["room_ids"][0]))
     hist = refine.finetune_rooms(model, variables, val_arrays, size_info,
                                  cfg, [room_id], [str(tmp_path / room_id)],
-                                 num_iters=12)
+                                 num_iters=12, save_semantic=True)
     losses = [h["total"] for h in hist[room_id]]
     assert all(np.isfinite(losses))
     # with random-init decoder weights the loop cannot be expected to
     # converge (the reference refines a trained model); mechanics only:
     # z and params must actually change, losses stay finite
-    # artifacts
+    # artifacts (the reference set: pkls + depth/class single-frame GIFs,
+    # test_render_refine.py:369-377, save_images :144-163)
     import os
     d = tmp_path / room_id
     assert (d / "z_value.pkl").exists()
     assert (d / "bbox_rot_0.pkl").exists()
     assert (d / "target_depth.png").exists()
+    assert (d / "000_depth.gif").exists()
+    assert (d / "011_depth.gif").exists()
+    class_gifs = [f for f in os.listdir(d)
+                  if f.startswith("011_") and f.endswith(".gif")
+                  and "depth" not in f]
+    assert class_gifs, "per-class mask GIFs missing"

@@ -56,3 +56,17 @@ def test_mmd_discriminator_heads():
     assert logits.shape[-1] == 1
     assert z.shape == (2, 32)
     assert np.isfinite(np.asarray(z)).all()
+
+
+def test_mmd_encoders_shapes():
+    from sln_tpu.spade.encoders import (ConvEncoderPSPSEMMD,
+                                        ConvEncoderPSPSEMMD2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    for cls in (ConvEncoderPSPSEMMD, ConvEncoderPSPSEMMD2):
+        m = cls(nef=2, output_nc=16)
+        v = m.init(jax.random.PRNGKey(1), x, False)
+        z = m.apply(v, x, False)
+        assert z.shape == (2, 16), cls.__name__
+        assert np.isfinite(np.asarray(z)).all()
+        # spectral norm state exists (power-iteration collection)
+        assert "spectral" in v

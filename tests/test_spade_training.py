@@ -74,3 +74,56 @@ def test_gan_train_step_runs_and_learns():
     assert int(state.step) == 4
     # d_loss should move (params updating)
     assert losses[0]["d_loss"] != losses[-1]["d_loss"]
+
+
+def test_mmd_rbf_properties():
+    from sln_tpu.spade.losses import mmd_rbf
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((64, 8)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((64, 8)).astype(np.float32))
+    same = float(mmd_rbf(x, x))
+    near = float(mmd_rbf(x, y))
+    far = float(mmd_rbf(x, y + 3.0))
+    assert abs(same) < 1e-5
+    assert far > near > 0 - 1e-4
+    assert far > 0.1
+
+
+def test_mmd_gan_train_step_runs():
+    """Smoke-train the full MMD mode: G + MMD discriminator (decide/z_out
+    heads) + ConvEncoderPSPSEMMD with reconstruction and MMD-to-prior."""
+    from sln_tpu.spade.encoders import ConvEncoderPSPSEMMD
+    from sln_tpu.spade.losses import MmdGanState, make_mmd_gan_train_step
+
+    nz = 8
+    gen = SPADEGenerator4(ngf=8, nz=nz, crop_size=32)
+    disc = MultiscaleDiscriminator(ndf=4, n_layers=2, num_d=2, mmd_nz=nz)
+    enc = ConvEncoderPSPSEMMD(nef=2, output_nc=nz)
+    seg = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (2, 32, 32, 41)).astype(np.float32))
+    real = jnp.asarray(np.random.default_rng(1).uniform(
+        -1, 1, (2, 32, 32, 3)).astype(np.float32))
+    z = jax.random.normal(jax.random.PRNGKey(7), (2, nz))
+
+    g_vars = gen.init(jax.random.PRNGKey(0), seg, z)
+    d_vars = disc.init(jax.random.PRNGKey(1),
+                       jnp.concatenate([seg, real], -1), False)
+    e_vars = enc.init(jax.random.PRNGKey(2), real, False)
+    g_tx, d_tx, e_tx = optax.adam(2e-4), optax.adam(2e-4), optax.adam(2e-4)
+    state = MmdGanState(
+        g_params=g_vars["params"], d_params=d_vars["params"],
+        d_spectral=d_vars.get("spectral", {}),
+        e_params=e_vars["params"], e_spectral=e_vars.get("spectral", {}),
+        g_opt=g_tx.init(g_vars["params"]),
+        d_opt=d_tx.init(d_vars["params"]),
+        e_opt=e_tx.init(e_vars["params"]),
+        step=jnp.zeros((), jnp.int32))
+    step = make_mmd_gan_train_step(gen, disc, enc, g_tx, d_tx, e_tx)
+
+    losses = []
+    for i in range(3):
+        state, l = step(state, seg, real, z)
+        losses.append({k: float(v) for k, v in l.items()})
+    assert all(np.isfinite(v) for l in losses for v in l.values())
+    assert {"d_loss", "g_loss", "e_loss"} <= set(losses[0])
+    assert losses[0]["e_loss"] != losses[-1]["e_loss"]

@@ -94,6 +94,16 @@ def main(argv=None):
     p.add_argument("--lr_d", type=float, default=4e-4)
     p.add_argument("--print_every", type=int, default=20)
     p.add_argument("--output_dir", default="./checkpoints_spade")
+    p.add_argument("--mmd", action="store_true",
+                   help="MMD training mode: MMD discriminators "
+                        "(decide + z_out heads) + ConvEncoderPSPSEMMD "
+                        "with z-regression, reconstruction, and "
+                        "MMD-to-prior losses (the objective behind the "
+                        "reference's unused *_MMD classes, "
+                        "SPADE_related.py:909-979,1237-1398)")
+    p.add_argument("--nef", type=int, default=16,
+                   help="MMD encoder width")
+    p.add_argument("--lr_e", type=float, default=1e-4)
     args = p.parse_args(argv)
 
     import jax
@@ -114,7 +124,8 @@ def main(argv=None):
     print(f"| dataset: {segs.shape} -> {rgbs.shape}")
 
     gen = SPADEGenerator4(ngf=args.ngf, nz=args.nz, crop_size=args.crop)
-    disc = MultiscaleDiscriminator(ndf=args.ndf, n_layers=3, num_d=2)
+    disc = MultiscaleDiscriminator(ndf=args.ndf, n_layers=3, num_d=2,
+                                   mmd_nz=args.nz if args.mmd else 0)
     B = args.batch_size
     seg0 = jnp.asarray(segs[:B])
     z0 = jax.random.normal(jax.random.PRNGKey(0), (B, args.nz))
@@ -124,12 +135,32 @@ def main(argv=None):
                        False)
     g_tx = optax.adam(args.lr_g, b1=0.0, b2=0.9)
     d_tx = optax.adam(args.lr_d, b1=0.0, b2=0.9)
-    state = GanState(
-        g_params=g_vars["params"], d_params=d_vars["params"],
-        d_spectral=d_vars.get("spectral", {}),
-        g_opt=g_tx.init(g_vars["params"]),
-        d_opt=d_tx.init(d_vars["params"]), step=jnp.zeros((), jnp.int32))
-    step = make_gan_train_step(gen, disc, g_tx, d_tx)
+    if args.mmd:
+        from sln_tpu.spade.encoders import ConvEncoderPSPSEMMD
+        from sln_tpu.spade.losses import (MmdGanState,
+                                          make_mmd_gan_train_step)
+        enc = ConvEncoderPSPSEMMD(nef=args.nef, output_nc=args.nz)
+        e_vars = enc.init(jax.random.PRNGKey(3), jnp.asarray(rgbs[:B]),
+                          False)
+        e_tx = optax.adam(args.lr_e, b1=0.0, b2=0.9)
+        state = MmdGanState(
+            g_params=g_vars["params"], d_params=d_vars["params"],
+            d_spectral=d_vars.get("spectral", {}),
+            e_params=e_vars["params"],
+            e_spectral=e_vars.get("spectral", {}),
+            g_opt=g_tx.init(g_vars["params"]),
+            d_opt=d_tx.init(d_vars["params"]),
+            e_opt=e_tx.init(e_vars["params"]),
+            step=jnp.zeros((), jnp.int32))
+        step = make_mmd_gan_train_step(gen, disc, enc, g_tx, d_tx, e_tx)
+    else:
+        state = GanState(
+            g_params=g_vars["params"], d_params=d_vars["params"],
+            d_spectral=d_vars.get("spectral", {}),
+            g_opt=g_tx.init(g_vars["params"]),
+            d_opt=d_tx.init(d_vars["params"]),
+            step=jnp.zeros((), jnp.int32))
+        step = make_gan_train_step(gen, disc, g_tx, d_tx)
 
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(2)
@@ -139,16 +170,19 @@ def main(argv=None):
         state, losses = step(state, jnp.asarray(segs[idx]),
                              jnp.asarray(rgbs[idx]), z)
         if t % args.print_every == 0:
-            print(f"step {t}: d={float(losses['d_loss']):.4f} "
-                  f"g={float(losses['g_loss']):.4f}")
+            print(f"step {t}: " + " ".join(
+                f"{k[0]}={float(v):.4f}" for k, v in sorted(losses.items())))
 
     os.makedirs(args.output_dir, exist_ok=True)
     out = os.path.join(args.output_dir, "spade_gan.ckpt")
+    payload = {
+        "g_params": jax.tree.map(np.asarray, state.g_params),
+        "d_params": jax.tree.map(np.asarray, state.d_params),
+        "config": vars(args)}
+    if args.mmd:
+        payload["e_params"] = jax.tree.map(np.asarray, state.e_params)
     with open(out, "wb") as f:
-        pickle.dump({
-            "g_params": jax.tree.map(np.asarray, state.g_params),
-            "d_params": jax.tree.map(np.asarray, state.d_params),
-            "config": vars(args)}, f)
+        pickle.dump(payload, f)
     print("saved", out)
 
 
