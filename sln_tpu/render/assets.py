@@ -131,6 +131,65 @@ def retrieve_models(objs, boxes_abs, bank: MeshBank):
     return jnp.where(has_any, jnp.argmin(dist, axis=1), 0).astype(jnp.int32)
 
 
+class ShellBank(NamedTuple):
+    """Bank of room shells (wall/floor/ceiling meshes), normalized to the
+    unit cube so one entry serves every room size.
+
+    The reference retrieves real SUNCG wall/floor/ceiling meshes per room
+    by aspect ratio (models/misc.py:123-191) and deletes occluding wall
+    vertices per room (diff_render.py:200-213). Here shells are
+    unit-normalized at bank-build time, the bad-wall drop is baked into
+    face_valid in normalized coordinates (the heuristic thresholds are
+    all proportional to room dims, so it is room-independent), and
+    retrieval is an argmin over the stored original aspect ratios.
+    Entry 0 is always the procedural exact-fit shell (the fallback).
+    """
+    verts: np.ndarray        # (S, Vs, 3) in [0, 1]^3
+    faces: np.ndarray        # (S, Fs, 3) int32, padded with 0
+    part: np.ndarray         # (S, Fs) 0=wall 1=floor 2=ceiling
+    face_valid: np.ndarray   # (S, Fs) bool (bad-wall drops applied)
+    ratio: np.ndarray        # (S, 2) original (Y/X, Z/X) bbox ratios
+
+
+def procedural_shell_bank(subdiv: int = 4) -> ShellBank:
+    """S=1 bank holding the exact-fit procedural shell."""
+    sv, sf, sp = room_shell(subdiv)
+    return ShellBank(
+        verts=sv[None], faces=sf[None], part=sp[None],
+        face_valid=np.ones((1, len(sf)), bool),
+        ratio=np.asarray([[1.0, 1.0]], np.float32))
+
+
+def retrieve_shell_np(room_dims, shells: ShellBank) -> int:
+    """Argmin aspect-ratio shell retrieval (reference wall_retrieve,
+    render_room_color.py:55-68: ratio = (Y/X, Z/X), L1 distance)."""
+    dims = np.asarray(room_dims, np.float64)
+    target = np.array([dims[1] / max(dims[0], 1e-6),
+                       dims[2] / max(dims[0], 1e-6)])
+    dist = np.abs(np.asarray(shells.ratio, np.float64)
+                  - target[None]).sum(-1)
+    return int(np.argmin(dist))
+
+
+def shell_wall_drop_normalized(verts: np.ndarray, part_of_vert: np.ndarray
+                               ) -> np.ndarray:
+    """Bad-wall vertex-drop mask in unit-room coordinates (reference
+    diff_render.py / render_room_color.py:271-298 heuristic with X=Z=1):
+    drop wall vertices with z > 0.2 that sit inside 0.1 < x < 0.9; if
+    >70% of wall vertices lie at z > 0.9 the whole wall plane faces the
+    camera — drop all wall vertices."""
+    v = np.asarray(verts, np.float64)
+    is_wall = np.asarray(part_of_vert) == 0
+    frontish = v[:, 2] > 0.2
+    interior = (v[:, 0] > 0.1) & (v[:, 0] < 0.9)
+    drop = is_wall & frontish & interior
+    n_wall = max(int(is_wall.sum()), 1)
+    score = float((is_wall & (v[:, 2] > 0.9)).sum()) / n_wall
+    if score > 0.7:
+        return is_wall.copy()
+    return drop
+
+
 def room_shell(subdiv: int = 4) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Unit room shell: floor, ceiling, back/left/right walls (near wall at
     z=1 dropped — the camera sits there, reference diff_render.py:200-213).

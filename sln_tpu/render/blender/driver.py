@@ -31,8 +31,8 @@ def script_argv() -> List[str]:
     return argv[1:]
 
 
-def build_scene(objs, boxes, angles, bank, rng: np.random.Generator
-                ) -> Tuple[Dict[str, List], np.ndarray]:
+def build_scene(objs, boxes, angles, bank, rng: np.random.Generator,
+                shells=None) -> Tuple[Dict[str, List], np.ndarray]:
     """Fresh Blender scene with all meshes placed + an accepted camera.
 
     Returns (objects grouped by NYU class name, room_dims). Camera
@@ -41,7 +41,7 @@ def build_scene(objs, boxes, angles, bank, rng: np.random.Generator
     (reference render_room_color.py:351-383).
     """
     bpy_scene.reset_scene()
-    meshes = scene_spec.scene_meshes(objs, boxes, angles, bank)
+    meshes = scene_spec.scene_meshes(objs, boxes, angles, bank, shells)
     _, dims = scene_spec.denormalize_scene(np.asarray(boxes, np.float64))
     by_class: Dict[str, List] = {}
     for spec in meshes:

@@ -42,8 +42,10 @@ def _class_color(class_name: str):
 
 
 def render_layout(objs, boxes, angles, out_path: str,
-                  rng: np.random.Generator, bank) -> None:
-    by_class, dims = driver.build_scene(objs, boxes, angles, bank, rng)
+                  rng: np.random.Generator, bank,
+                  shells=None) -> None:
+    by_class, dims = driver.build_scene(objs, boxes, angles, bank, rng,
+                                        shells)
     for cls, objects in by_class.items():
         rgb = _class_color(cls)
         for obj in objects:
@@ -63,13 +65,13 @@ def main() -> None:
     test_dir = driver.script_argv()[0]
     out_dir = os.path.join(test_dir, "data", "rendered")
     os.makedirs(out_dir, exist_ok=True)
-    bank = scene_spec.load_bank()
+    bank, shells = scene_spec.load_bank()
     rng = np.random.default_rng(int(os.environ.get("SLN_TPU_RENDER_SEED",
                                                    "0")))
     for room_id, k, objs, boxes, angles in \
             scene_spec.iter_extracted_layouts(test_dir):
         out = os.path.join(out_dir, scene_spec.color_filename(room_id, k))
-        render_layout(objs, boxes, angles, out, rng, bank)
+        render_layout(objs, boxes, angles, out, rng, bank, shells)
 
 
 if __name__ == "__main__":

@@ -35,8 +35,10 @@ from sln_tpu.render.blender import bpy_scene, driver, scene_spec  # noqa: E402
 
 
 def render_semantic_depth(objs, boxes, angles, out_dir: str, name: str,
-                          rng: np.random.Generator, bank) -> None:
-    by_class, dims = driver.build_scene(objs, boxes, angles, bank, rng)
+                          rng: np.random.Generator, bank,
+                          shells=None) -> None:
+    by_class, dims = driver.build_scene(objs, boxes, angles, bank, rng,
+                                        shells)
     bpy_scene.set_world_background(strength=0.0)
     bpy_scene.set_cycles(samples=10, res_x=1024, res_y=1024, percentage=25)
 
@@ -58,7 +60,7 @@ def main() -> None:
     test_dir = driver.script_argv()[0]
     out_dir = os.path.join(test_dir, "data", "semantic_masks")
     os.makedirs(out_dir, exist_ok=True)
-    bank = scene_spec.load_bank()
+    bank, shells = scene_spec.load_bank()
     rng = np.random.default_rng(int(os.environ.get("SLN_TPU_RENDER_SEED",
                                                    "0")))
     rooms = os.environ.get("SLN_TPU_RENDER_ROOMS")
@@ -69,7 +71,8 @@ def main() -> None:
         if only_k is not None and int(only_k) != k:
             continue
         render_semantic_depth(objs, boxes, angles, out_dir,
-                              scene_spec.pred_name(room_id, k), rng, bank)
+                              scene_spec.pred_name(room_id, k), rng,
+                              bank, shells)
 
 
 if __name__ == "__main__":

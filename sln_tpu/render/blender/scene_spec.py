@@ -56,20 +56,29 @@ def denormalize_scene(boxes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 # asset bank (numpy-side)
 # ---------------------------------------------------------------------------
 def load_bank(bank_path: Optional[str] = None):
-    """Procedural bank, or an .npz bank from tools/build_asset_bank.py
-    (path argument or SLN_TPU_ASSET_BANK env var)."""
+    """(MeshBank, ShellBank-or-None): procedural, or an .npz bank from
+    tools/build_asset_bank.py (path argument or SLN_TPU_ASSET_BANK env
+    var; shells present when the bank was built with --room_dir)."""
     from sln_tpu.render import assets
 
     path = bank_path or os.environ.get("SLN_TPU_ASSET_BANK", "")
     if path and os.path.isfile(path):
-        from sln_tpu.render.assets import MeshBank
+        from sln_tpu.render.assets import MeshBank, ShellBank
         d = np.load(path, allow_pickle=False)
-        return MeshBank(verts=d["verts"], faces=d["faces"],
+        bank = MeshBank(verts=d["verts"], faces=d["faces"],
                         face_valid=d["face_valid"], bbox_min=d["bbox_min"],
                         bbox_max=d["bbox_max"],
                         model_class=d["model_class"],
                         vm=int(d["vm"]), fm=int(d["fm"]))
-    return assets.build_procedural_bank(subdiv=1)
+        shells = None
+        if "shell_verts" in d:
+            shells = ShellBank(verts=d["shell_verts"],
+                               faces=d["shell_faces"],
+                               part=d["shell_part"],
+                               face_valid=d["shell_face_valid"],
+                               ratio=d["shell_ratio"])
+        return bank, shells
+    return assets.build_procedural_bank(subdiv=1), None
 
 
 def retrieve_models_np(objs: np.ndarray, boxes_abs: np.ndarray,
@@ -297,14 +306,16 @@ def iter_extracted_layouts(test_dir: str, num_preds: int = 4,
 
 
 def scene_meshes(objs: List[int], boxes: np.ndarray, angles: np.ndarray,
-                 bank) -> List[Dict]:
+                 bank, shells=None) -> List[Dict]:
     """Assemble the full per-scene mesh list for Blender.
 
     Returns dicts {name, class_name, verts (V,3), faces (F,3), matrix
     (4,4)}: one entry per renderable object (bank mesh + world matrix)
-    and one per shell part (wall/floor/ceiling from the bank when it has
-    shells — see tools/build_asset_bank.py --shell_dir — else the
-    procedural exact-fit shell), with bad-wall vertices already dropped.
+    and one per shell part. `shells` is an assets.ShellBank (built via
+    tools/build_asset_bank.py --room_dir): the closest-aspect-ratio
+    entry is retrieved and scaled to the room, with bad-wall faces
+    already dropped at bank-build time; without it, the procedural
+    exact-fit shell is used.
     """
     from sln_tpu.render import assets
 
@@ -329,31 +340,21 @@ def scene_meshes(objs: List[int], boxes: np.ndarray, angles: np.ndarray,
                     "faces": np.asarray(bank.faces[m][fv], np.int64),
                     "matrix": mat})
 
-    shells = getattr(bank, "shells", None)
-    if shells:
-        for part in ("wall", "floor", "ceiling"):
-            entry = shells.get(part)
-            if entry is None:
-                continue
-            mat = shell_world_matrix(dims, part, entry["bbox_min"],
-                                     entry["bbox_max"])
-            verts = np.asarray(entry["verts"], np.float64)
-            faces = np.asarray(entry["faces"], np.int64)
-            if part == "wall":
-                world = verts @ mat[:3, :3].T + mat[:3, 3]
-                drop = wall_vertex_drop(world, dims)
-                keep_face = ~drop[faces].any(axis=1)
-                faces = faces[keep_face]
-            out.append({"name": part, "class_name": part,
-                        "verts": verts, "faces": faces, "matrix": mat})
+    if shells is None:
+        shells = assets.procedural_shell_bank(subdiv=2)
+        sidx = 0
     else:
-        sv, sf, spart = assets.room_shell(subdiv=2)
-        scale = np.eye(4)
-        scale[0, 0], scale[1, 1], scale[2, 2] = dims
-        for pid, part in enumerate(("wall", "floor", "ceiling")):
-            faces = sf[spart == pid]
-            out.append({"name": part, "class_name": part,
-                        "verts": np.asarray(sv, np.float64),
-                        "faces": np.asarray(faces, np.int64),
-                        "matrix": scale})
+        sidx = assets.retrieve_shell_np(dims, shells)
+    scale = np.eye(4)
+    scale[0, 0], scale[1, 1], scale[2, 2] = dims
+    sverts = np.asarray(shells.verts[sidx], np.float64)
+    sfaces = np.asarray(shells.faces[sidx], np.int64)
+    spart = np.asarray(shells.part[sidx])
+    svalid = np.asarray(shells.face_valid[sidx], bool)
+    for pid, part in enumerate(("wall", "floor", "ceiling")):
+        faces = sfaces[(spart == pid) & svalid]
+        if len(faces) == 0:
+            continue
+        out.append({"name": part, "class_name": part,
+                    "verts": sverts, "faces": faces, "matrix": scale})
     return out

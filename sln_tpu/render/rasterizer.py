@@ -107,8 +107,17 @@ def _pixel_face_terms(geom: FaceGeometry, px: jnp.ndarray, py: jnp.ndarray,
     inv_z = jnp.sum(lam * geom.inv_z[None], axis=-1)         # (P, F)
     zbuf = 1.0 / jnp.maximum(inv_z, 1e-12)
 
-    log_cov = jax.nn.log_sigmoid(d / sigma)
-    log_one_minus_cov = jax.nn.log_sigmoid(-d / sigma)
+    # Coverage argument: LINEAR inside the face (d >= 0, NMR-style edge
+    # gradients), QUADRATIC outside — dd = d*(1 + relu(-d))/sigma, C^1 at
+    # the boundary. A pure linear d/sigma is unsound: its penalty grows
+    # too slowly to ever offset the -z/gamma visibility advantage, so any
+    # near-camera face (e.g. an edge-on shell slab) captures pixels
+    # arbitrarily far from its footprint (SoftRas, Liu et al. 2019, uses
+    # a signed SQUARED distance for the same reason); the quadratic tail
+    # bounds that leakage to a ~sqrt(gamma-range * sigma) pixel halo.
+    dd = d * (1.0 + jax.nn.relu(-d)) / sigma
+    log_cov = jax.nn.log_sigmoid(dd)
+    log_one_minus_cov = jax.nn.log_sigmoid(-dd)
     logit = log_cov - zbuf / gamma
     logit = jnp.where(geom.valid[None], logit, NEG_INF)
     log_one_minus_cov = jnp.where(geom.valid[None], log_one_minus_cov, 0.0)

@@ -79,20 +79,28 @@ class DeviceBank(NamedTuple):
     face_valid: jnp.ndarray   # (M, Fm)
     bbox_min: jnp.ndarray     # (M, 3)
     bbox_max: jnp.ndarray     # (M, 3)
-    shell_verts: jnp.ndarray  # (Vs, 3) unit-room shell
-    shell_faces: jnp.ndarray  # (Fs, 3)
-    shell_part: jnp.ndarray   # (Fs,) 0=wall 1=floor 2=ceiling
+    # banked unit-room shells (assets.ShellBank moved to device); entry 0
+    # is the procedural exact-fit fallback. Retrieved-shell parity:
+    # assets.retrieve_shell_np picks the entry, shell_idx selects it.
+    shell_verts: jnp.ndarray  # (S, Vs, 3) in [0, 1]^3
+    shell_faces: jnp.ndarray  # (S, Fs, 3)
+    shell_part: jnp.ndarray   # (S, Fs) 0=wall 1=floor 2=ceiling
+    shell_fvalid: jnp.ndarray  # (S, Fs) bool (bad-wall drops baked in)
 
 
-def device_bank(bank: assets.MeshBank, shell_subdiv: int = 4) -> DeviceBank:
-    sv, sf, sp = assets.room_shell(shell_subdiv)
+def device_bank(bank: assets.MeshBank, shell_subdiv: int = 4,
+                shells: assets.ShellBank = None) -> DeviceBank:
+    if shells is None:
+        shells = assets.procedural_shell_bank(shell_subdiv)
     return DeviceBank(
         verts=jnp.asarray(bank.verts), faces=jnp.asarray(bank.faces),
         face_valid=jnp.asarray(bank.face_valid),
         bbox_min=jnp.asarray(bank.bbox_min),
         bbox_max=jnp.asarray(bank.bbox_max),
-        shell_verts=jnp.asarray(sv), shell_faces=jnp.asarray(sf),
-        shell_part=jnp.asarray(sp))
+        shell_verts=jnp.asarray(shells.verts, jnp.float32),
+        shell_faces=jnp.asarray(shells.faces),
+        shell_part=jnp.asarray(shells.part),
+        shell_fvalid=jnp.asarray(shells.face_valid))
 
 
 def rotation_y(theta: jnp.ndarray) -> jnp.ndarray:
@@ -108,10 +116,12 @@ def rotation_y(theta: jnp.ndarray) -> jnp.ndarray:
 
 def assemble_scene(objs: jnp.ndarray, boxes: jnp.ndarray,
                    angles: jnp.ndarray, obj_mask: jnp.ndarray,
-                   model_idx: jnp.ndarray, bank: DeviceBank
-                   ) -> SceneBuffers:
+                   model_idx: jnp.ndarray, bank: DeviceBank,
+                   shell_idx=0) -> SceneBuffers:
     """objs/boxes(normalized, room row absolute)/angles(float bins)/mask:
-    (O, ...) single scene; model_idx: (O,) retrieval result."""
+    (O, ...) single scene; model_idx: (O,) retrieval result; shell_idx:
+    () retrieved room-shell entry (assets.retrieve_shell_np; 0 = the
+    procedural exact-fit fallback)."""
     O = objs.shape[0]
     room_mask = (objs == 0) & obj_mask
     room_w = room_mask.astype(boxes.dtype)
@@ -147,13 +157,15 @@ def assemble_scene(objs: jnp.ndarray, boxes: jnp.ndarray,
     offsets = (jnp.arange(O, dtype=jnp.int32) * Vm)[:, None, None]
     faces_global = mfaces + offsets
 
-    # room shell scaled to the room box
-    shell_world = bank.shell_verts * room_dims[None]
-    shell_faces = bank.shell_faces + O * Vm
+    # retrieved room shell (unit-normalized bank entry) scaled to the room
+    sidx = jnp.asarray(shell_idx, jnp.int32)
+    shell_world = bank.shell_verts[sidx] * room_dims[None]
+    shell_faces = bank.shell_faces[sidx] + O * Vm
+    spart = bank.shell_part[sidx]
     shell_class = jnp.where(
-        bank.shell_part == 0, WALL_RC,
-        jnp.where(bank.shell_part == 1, FLOOR_RC, CEIL_RC)).astype(jnp.int32)
-    shell_valid = jnp.ones(bank.shell_faces.shape[0], bool)
+        spart == 0, WALL_RC,
+        jnp.where(spart == 1, FLOOR_RC, CEIL_RC)).astype(jnp.int32)
+    shell_valid = bank.shell_fvalid[sidx]
 
     verts = jnp.concatenate([world.reshape(-1, 3), shell_world], axis=0)
     faces = jnp.concatenate([faces_global.reshape(-1, 3), shell_faces])
@@ -225,12 +237,14 @@ def render_channels(scene: SceneBuffers, room_dims: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def render_layout(objs, boxes, angles, obj_mask, model_idx,
-                  bank: DeviceBank, cfg: RenderConfig) -> jnp.ndarray:
+                  bank: DeviceBank, cfg: RenderConfig,
+                  shell_idx=0) -> jnp.ndarray:
     """Single-scene end-to-end: assemble + rasterize + channel stack.
 
     Returns (70, S, S). vmap over a leading batch axis for batched renders.
     """
-    scene = assemble_scene(objs, boxes, angles, obj_mask, model_idx, bank)
+    scene = assemble_scene(objs, boxes, angles, obj_mask, model_idx, bank,
+                           shell_idx)
     room_mask = (objs == 0) & obj_mask
     room_w = room_mask.astype(boxes.dtype)
     room_dims = jnp.einsum("o,od->d", room_w, boxes)[3:]

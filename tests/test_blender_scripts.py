@@ -240,8 +240,8 @@ def test_iter_extracted_and_scene_meshes(tmp_path):
     room_id, k, o, b, a = items[0]
     assert o == objs
 
-    bank = scene_spec.load_bank()
-    meshes = scene_spec.scene_meshes(o, b, a, bank)
+    bank, shells = scene_spec.load_bank()
+    meshes = scene_spec.scene_meshes(o, b, a, bank, shells)
     names = {m["name"] for m in meshes}
     assert {"wall", "floor", "ceiling"} <= names
     assert any("bed" in n for n in names)
