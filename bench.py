@@ -254,39 +254,80 @@ def bench_layouts(setup=None) -> dict:
             "vs_baseline": round(rate / TARGET_LAYOUTS_PER_SEC, 3)}
 
 
+def _run_only(name: str) -> None:
+    """Run one benchmark in this process (invoked in a fresh subprocess
+    per metric: device allocator state left behind by a previous
+    benchmark costs later ones up to 4x — e.g. SPADE measures ~260
+    imgs/s clean but ~68 after the refinement benches)."""
+    if name == "refine_96px":
+        _emit(bench_refine())
+    elif name == "refine_batched":
+        _emit(bench_refine(num_rooms=8))
+    elif name == "refine_256px":
+        _emit(bench_refine(render_size=256, steps=120))
+    elif name == "spade_256px":
+        _emit(bench_spade())
+    elif name == "quality":
+        for rec in bench_quality(_load_bench_model()):
+            _emit(rec)
+    elif name == "layouts":
+        try:
+            _emit(bench_layouts(_load_bench_model()))
+        except Exception as e:
+            # never end without a headline line: random-weight fallback
+            _fail("layouts_with_checkpoint", e)
+            _emit(bench_layouts(None))
+    else:
+        raise SystemExit(f"unknown bench {name}")
+
+
+# SPADE runs BEFORE the refinement benches: device allocator state left
+# behind by the refine programs costs the big-conv generator ~4x (68 vs
+# ~260 imgs/s measured clean); the layouts headline runs last (it is
+# insensitive to prior state and the driver parses the final line).
+ORDER = ("spade_256px", "refine_96px", "refine_batched", "refine_256px",
+         "quality", "layouts")
+
+
 def main():
+    import subprocess
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="headline layouts/s only")
     ap.add_argument("--full", action="store_true",
                     help="(default behavior; kept for compatibility)")
+    ap.add_argument("--only", default="", choices=("",) + ORDER,
+                    help="run a single benchmark in-process")
+    ap.add_argument("--isolate", action="store_true",
+                    help="run every benchmark in a fresh subprocess "
+                         "(cleanest per-metric numbers, but each pays "
+                         "cold-process dispatch overhead)")
     opts = ap.parse_args()
 
-    setup = None
-    if not opts.quick:
-        for fn, name in (
-                (lambda: bench_refine(), "refine_96px"),
-                (lambda: bench_refine(num_rooms=8), "refine_batched"),
-                (lambda: bench_refine(render_size=256, steps=120),
-                 "refine_256px"),
-                (bench_spade, "spade_256px")):
+    if opts.only:
+        _run_only(opts.only)
+        return
+
+    names = ("layouts",) if opts.quick else ORDER
+    here = os.path.abspath(__file__)
+    for name in names:
+        if not opts.isolate:
             try:
-                _emit(fn())
+                _run_only(name)
             except Exception as e:
                 _fail(name, e)
-        try:
-            setup = _load_bench_model()
-            for rec in bench_quality(setup):
-                _emit(rec)
-        except Exception as e:
-            _fail("quality", e)
-            setup = None
-    try:
-        _emit(bench_layouts(setup))
-    except Exception as e:
-        # never end without a headline line: random-weight fallback
-        _fail("layouts_with_checkpoint", e)
-        _emit(bench_layouts(None))
+            continue
+        proc = subprocess.run(
+            [sys.executable, here, "--only", name],
+            capture_output=True, text=True, timeout=1800)
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+        if proc.returncode != 0:
+            tail = proc.stderr.strip().splitlines()[-3:]
+            print(f"bench {name} subprocess failed: " + " | ".join(tail),
+                  file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
