@@ -77,12 +77,18 @@ def heatmap_scene_batch(batch_size: int, max_objects: int, max_triples: int,
 
 
 def make_sampler(model, variables, batch: SceneBatch,
-                 mean: np.ndarray, cov: np.ndarray):
+                 mean: np.ndarray, cov: np.ndarray, mesh=None):
     """Jitted: key -> (boxes (B, O, 6), angles (B, O)) with z ~ N(mean, cov).
 
     Replaces the reference's host-side np.random.multivariate_normal +
     per-trial decoder call (test_heatmap.py:56-62) with on-device Cholesky
     sampling + one batched decode.
+
+    mesh: optional jax.sharding.Mesh for multi-chip serving — the batch
+    axis shards over the 'data' mesh axis (scenes are independent), the
+    model weights replicate, and XLA partitions the decode; outputs keep
+    the same values as the single-device program (PRNG draws depend only
+    on key and shape).
     """
     import jax
     import jax.numpy as jnp
@@ -92,9 +98,14 @@ def make_sampler(model, variables, batch: SceneBatch,
     chol = jnp.asarray(np.linalg.cholesky(
         cov + 1e-8 * np.eye(cov.shape[0])), jnp.float32)
     mean_j = jnp.asarray(mean, jnp.float32)
+    if mesh is not None:
+        from sln_tpu.parallel import mesh as meshlib
+        batch = meshlib.shard_batch(batch, mesh)
+        variables = meshlib.replicate(variables, mesh)
+        chol = jax.device_put(chol, meshlib.replicated(mesh))
+        mean_j = jax.device_put(mean_j, meshlib.replicated(mesh))
     B, O = batch.objs.shape
 
-    @jax.jit
     def sample(key):
         eps = jax.random.normal(key, (B, O, mean_j.shape[0]), jnp.float32)
         z = mean_j + jnp.einsum("bol,kl->bok", eps, chol)
@@ -102,7 +113,13 @@ def make_sampler(model, variables, batch: SceneBatch,
                                       method=Sg2ScVAE.decode)
         return boxes, jnp.argmax(angle_lp, axis=-1)
 
-    return sample
+    if mesh is not None:
+        # pin outputs batch-sharded so the partitioner keeps the decode
+        # distributed instead of gathering to one device
+        from sln_tpu.parallel import mesh as meshlib
+        sh = meshlib.batch_sharding(mesh)
+        return jax.jit(sample, out_shardings=(sh, sh))
+    return jax.jit(sample)
 
 
 def produce_heatmap(model, variables, mean, cov, test_dir: str,

@@ -93,3 +93,24 @@ def test_spmd_step_matches_single_device():
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=2.5e-3)
+
+
+def test_train_step_deterministic():
+    """Determinism stands in for the reference's global manual_seed
+    (SURVEY 5.2): identical state + batch + key -> bit-identical update."""
+    cfg, arrays, size_info, example = _setup(batch_size=8, num_rooms=16)
+    raw = next(train_loop.batches_from_arrays(
+        arrays, 8, np.random.default_rng(0)))
+    model, state, tx = train_loop.create_state(
+        cfg, jax.random.PRNGKey(1), example)
+    step = train_loop.make_train_step(model, tx, cfg, size_info)
+    rng = jax.random.PRNGKey(2)
+    s1, l1 = step(state, raw, rng)
+    model2, state2, tx2 = train_loop.create_state(
+        cfg, jax.random.PRNGKey(1), example)
+    step2 = train_loop.make_train_step(model2, tx2, cfg, size_info)
+    s2, l2 = step2(state2, raw, rng)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), s1.params, s2.params)
+    for k in l1:
+        np.testing.assert_array_equal(np.asarray(l1[k]), np.asarray(l2[k]))

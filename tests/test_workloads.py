@@ -137,3 +137,30 @@ def test_sample_z_covariance():
     emp_cov = np.cov(z.T)
     np.testing.assert_allclose(emp_mean, mean, atol=0.1)
     np.testing.assert_allclose(emp_cov, cov, atol=0.25, rtol=0.15)
+
+
+def test_sharded_sampler_matches_single_device(setup):
+    """Multi-chip serving path: the heatmap sampler sharded over the
+    8-device data axis must produce the same layouts as the unsharded
+    program (PRNG draws depend only on key and shape)."""
+    from sln_tpu.parallel import mesh as meshlib
+    from sln_tpu.workloads.heatmap import heatmap_scene_batch, make_sampler
+
+    cfg, model, variables, tr, va, si = setup
+    batch = heatmap_scene_batch(32, max_objects=16, max_triples=48)
+    mean = np.zeros((cfg.model.latent_dim,), np.float32)
+    cov = np.eye(cfg.model.latent_dim, dtype=np.float32)
+
+    single = make_sampler(model, variables, batch, mean, cov)
+    mesh = meshlib.make_mesh()
+    assert mesh.shape["data"] * mesh.shape["model"] == 8
+    sharded = make_sampler(model, variables, batch, mean, cov, mesh=mesh)
+
+    key = jax.random.PRNGKey(3)
+    b1, a1 = single(key)
+    b2, a2 = sharded(key)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    # the sharded outputs actually live on the mesh
+    assert len(b2.sharding.device_set) == 8
