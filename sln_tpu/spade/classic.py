@@ -4,8 +4,8 @@ SPADEResnetBlock, models/SPADE_related.py:151-346).
 The production inference path uses SPADEGenerator4 (sln_tpu.spade.generator);
 these are the canonical SPADE variants for standard segmentation-map
 conditioning (no depth branch, instance/batch param-free norm, plain
-residual blocks). Generator variants 2/3/5 in the reference are unused
-experimental dead code and are intentionally not replicated (SURVEY C19).
+residual blocks). The experimental variants 2/3/5 live in
+sln_tpu.spade.variants.
 """
 
 from __future__ import annotations
