@@ -40,8 +40,11 @@ from sln_tpu.render.rasterizer import FaceGeometry
 R_NX = 0    # 0-2: edge normal x
 R_NY = 3    # 3-5: edge normal y
 R_C = 6     # 6-8: edge offset
-R_IL = 9    # 9-11: inverse edge length
-R_SIGN = 12
+R_IL = 9    # 9-11: inverse edge length * winding sign (pre-folded: the
+#             kernels then never touch the sign, saving 3 muls per chunk
+#             in each direction; autodiff through pack_faces restores the
+#             sign in the inv_len cotangent)
+R_SIGN = 12  # kept for layout stability; unused by the kernels
 R_IZ = 13   # 13-15: inverse vertex depth
 
 FAR_C = -1e9
@@ -63,7 +66,7 @@ def pack_faces(geom: FaceGeometry, num_classes: int
         sel(geom.edge_nx.T, 0.0),
         sel(geom.edge_ny.T, 0.0),
         sel(geom.edge_c.T, FAR_C),
-        sel(geom.inv_len.T, 1.0),
+        sel(geom.inv_len.T * geom.area_sign[None, :], 1.0),
         sel(geom.area_sign[None, :], 1.0),
         sel(geom.inv_z.T, 1.0),
     ], axis=0)                                    # (16, F)
@@ -91,28 +94,34 @@ def _chunk_geometry(fd, px, py, sigma, gamma):
         + fd[R_C + 1:R_C + 2]
     e2 = fd[R_NX + 2:R_NX + 3] * px + fd[R_NY + 2:R_NY + 3] * py \
         + fd[R_C + 2:R_C + 3]
-    sign = fd[R_SIGN:R_SIGN + 1]
-    s0 = e0 * fd[R_IL + 0:R_IL + 1] * sign
-    s1 = e1 * fd[R_IL + 1:R_IL + 2] * sign
-    s2 = e2 * fd[R_IL + 2:R_IL + 3] * sign
+    s0 = e0 * fd[R_IL + 0:R_IL + 1]
+    s1 = e1 * fd[R_IL + 1:R_IL + 2]
+    s2 = e2 * fd[R_IL + 2:R_IL + 3]
     d = jnp.minimum(jnp.minimum(s0, s1), s2)
 
     T = e0 + e1 + e2
     Tn = jnp.where(jnp.abs(T) > 1e-12, T, 1.0)
-    l0, l1, l2 = e1 / Tn, e2 / Tn, e0 / Tn      # lam_k = e_{k+1} / T
+    # divisions are multi-cycle on the VPU: one reciprocal per group,
+    # then multiplies (l/h/zbuf below share 3 recips instead of 7 divs)
+    inv_Tn = 1.0 / Tn
+    l0, l1, l2 = e1 * inv_Tn, e2 * inv_Tn, e0 * inv_Tn  # lam_k = e_{k+1}/T
     c0 = jnp.clip(l0, 0.0, 1.0)
     c1 = jnp.clip(l1, 0.0, 1.0)
     c2 = jnp.clip(l2, 0.0, 1.0)
     n = jnp.maximum(c0 + c1 + c2, 1e-12)
-    h0, h1, h2 = c0 / n, c1 / n, c2 / n
+    inv_n = 1.0 / n
+    h0, h1, h2 = c0 * inv_n, c1 * inv_n, c2 * inv_n
     zinv = (h0 * fd[R_IZ + 0:R_IZ + 1] + h1 * fd[R_IZ + 1:R_IZ + 2]
             + h2 * fd[R_IZ + 2:R_IZ + 3])
     zbuf = 1.0 / jnp.maximum(zinv, 1e-12)
 
-    # linear-inside / quadratic-outside coverage (see rasterizer.py note)
-    dd = d * (1.0 + jax.nn.relu(-d)) / sigma
-    logit = jax.nn.log_sigmoid(dd) - zbuf / gamma
-    lomc = jax.nn.log_sigmoid(-dd)
+    # linear-inside / quadratic-outside coverage (see rasterizer.py note).
+    # log_sigmoid(dd) and log_sigmoid(-dd) share one exp + one log1p:
+    # log sigmoid(x) = min(x, 0) - log1p(exp(-|x|))
+    dd = d * (1.0 + jax.nn.relu(-d)) * (1.0 / sigma)
+    lse = jnp.log1p(jnp.exp(-jnp.abs(dd)))
+    logit = jnp.minimum(dd, 0.0) - lse - zbuf * (1.0 / gamma)
+    lomc = jnp.minimum(-dd, 0.0) - lse
     return (e0, e1, e2, s0, s1, s2, d, Tn, (l0, l1, l2), (c0, c1, c2), n,
             (h0, h1, h2), zinv, zbuf, logit, lomc)
 
@@ -124,35 +133,36 @@ def _pixel_coords(tile_idx, image_size):
     return px, py
 
 
-def _fwd_kernel(mask_ref, fdata_ref, onehot_ref, depth_ref, classes_ref,
-                res_ref, *, image_size, sigma, gamma, z_far, num_chunks):
+def _fwd_kernel(counts_ref, clist_ref, fdata_ref, onehot_ref, depth_ref,
+                classes_ref, res_ref, *, image_size, sigma, gamma, z_far,
+                num_chunks):
     t = pl.program_id(0)
     px, py = _pixel_coords(t, image_size)
 
-    def body(k, carry):
-        def do_chunk(carry):
-            m, s, az, ac, alt = carry
-            f0 = pl.multiple_of(k * FC, FC)
-            fd = fdata_ref[:, pl.ds(f0, FC)]
-            oh = onehot_ref[pl.ds(f0, FC), :]
-            (*_, zbuf, logit, lomc) = _chunk_geometry(fd, px, py, sigma,
-                                                      gamma)
-            mc = jnp.max(logit, axis=1, keepdims=True)
-            m_new = jnp.maximum(m, mc)
-            scale = jnp.exp(m - m_new)
-            w = jnp.exp(logit - m_new)
-            s = s * scale + jnp.sum(w, axis=1, keepdims=True)
-            az = az * scale + jnp.sum(w * zbuf, axis=1, keepdims=True)
-            ac = ac * scale + jnp.dot(w, oh,
-                                      preferred_element_type=jnp.float32)
-            alt = alt + jnp.sum(lomc, axis=1, keepdims=True)
-            return (m_new, s, az, ac, alt)
-
-        # tile culling: faces are y-sorted; chunks whose dilated row range
-        # misses this tile contribute exact fp32 zeros (the quadratic
-        # coverage tail underflows), so skipping is lossless
-        return jax.lax.cond(mask_ref[t, k] > 0, do_chunk,
-                            lambda c: c, carry)
+    # tile culling: faces are y-sorted; chunks whose dilated row range
+    # misses this tile contribute exact fp32 zeros (the quadratic coverage
+    # tail underflows), so skipping is lossless. The loop runs over the
+    # tile's ACTIVE chunk list only (SMEM): a skipped lax.cond still costs
+    # ~1.4 us of pipeline flush on v5e, so at the measured ~0.2 chunk
+    # density a dynamic trip count is ~2x faster than 8 guarded conds.
+    def body(j, carry):
+        m, s, az, ac, alt = carry
+        k = clist_ref[t, j]
+        f0 = pl.multiple_of(k * FC, FC)
+        fd = fdata_ref[:, pl.ds(f0, FC)]
+        oh = onehot_ref[pl.ds(f0, FC), :]
+        (*_, zbuf, logit, lomc) = _chunk_geometry(fd, px, py, sigma,
+                                                  gamma)
+        mc = jnp.max(logit, axis=1, keepdims=True)
+        m_new = jnp.maximum(m, mc)
+        scale = jnp.exp(m - m_new)
+        w = jnp.exp(logit - m_new)
+        s = s * scale + jnp.sum(w, axis=1, keepdims=True)
+        az = az * scale + jnp.sum(w * zbuf, axis=1, keepdims=True)
+        ac = ac * scale + jnp.dot(w, oh,
+                                  preferred_element_type=jnp.float32)
+        alt = alt + jnp.sum(lomc, axis=1, keepdims=True)
+        return (m_new, s, az, ac, alt)
 
     C = classes_ref.shape[1]
     init = (jnp.full((PT, 1), -1e30, jnp.float32),
@@ -160,7 +170,7 @@ def _fwd_kernel(mask_ref, fdata_ref, onehot_ref, depth_ref, classes_ref,
             jnp.zeros((PT, 1), jnp.float32),
             jnp.zeros((PT, C), jnp.float32),
             jnp.zeros((PT, 1), jnp.float32))
-    m, s, az, ac, alt = jax.lax.fori_loop(0, num_chunks, body, init)
+    m, s, az, ac, alt = jax.lax.fori_loop(0, counts_ref[t, 0], body, init)
 
     denom = jnp.maximum(s, 1e-30)
     alpha = 1.0 - jnp.exp(alt)
@@ -172,9 +182,9 @@ def _fwd_kernel(mask_ref, fdata_ref, onehot_ref, depth_ref, classes_ref,
     res_ref[:, 3:4] = alt
 
 
-def _bwd_kernel(mask_ref, fdata_ref, onehot_ref, res_ref, classes_ref,
-                gd_ref, gc_ref, fgrad_ref, *, image_size, sigma, gamma,
-                z_far, num_chunks):
+def _bwd_kernel(counts_ref, clist_ref, fdata_ref, onehot_ref, res_ref,
+                classes_ref, gd_ref, gc_ref, fgrad_ref, *, image_size,
+                sigma, gamma, z_far, num_chunks):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -205,9 +215,8 @@ def _bwd_kernel(mask_ref, fdata_ref, onehot_ref, res_ref, classes_ref,
     inv_sigma = 1.0 / sigma
     inv_gamma = 1.0 / gamma
 
-    def body(k, _):
-        return jax.lax.cond(mask_ref[t, k] > 0,
-                            lambda: _bwd_chunk(k), lambda: 0)
+    def body(j, _):
+        return _bwd_chunk(clist_ref[t, j])
 
     def _bwd_chunk(k):
         f0 = pl.multiple_of(k * FC, FC)
@@ -216,7 +225,10 @@ def _bwd_kernel(mask_ref, fdata_ref, onehot_ref, res_ref, classes_ref,
         (e0, e1, e2, s0, s1, s2, d, Tn, (l0, l1, l2), (c0, c1, c2), n,
          (h0, h1, h2), zinv, zbuf, logit, lomc) = _chunk_geometry(
             fd, px, py, sigma, gamma)
-        w = jnp.exp(logit - m) / s                          # (PT, FC)
+        # reciprocals once per chunk (CSE'd with _chunk_geometry's own)
+        inv_Tn = 1.0 / Tn
+        inv_n = 1.0 / n
+        w = jnp.exp(logit - m) * (1.0 / s)                  # (PT, FC)
 
         wbar = Dbar * zbuf + jax.lax.dot_general(
             Cbar, oh, (((1,), (1,)), ((), ())),
@@ -244,38 +256,38 @@ def _bwd_kernel(mask_ref, fdata_ref, onehot_ref, res_ref, classes_ref,
 
         # h = c / n, n = sum c
         hdot = hbar0 * h0 + hbar1 * h1 + hbar2 * h2
-        cbar0 = (hbar0 - hdot) / n
-        cbar1 = (hbar1 - hdot) / n
-        cbar2 = (hbar2 - hdot) / n
+        cbar0 = (hbar0 - hdot) * inv_n
+        cbar1 = (hbar1 - hdot) * inv_n
+        cbar2 = (hbar2 - hdot) * inv_n
         # c = clip(l, 0, 1)
         lbar0 = jnp.where((l0 > 0.0) & (l0 < 1.0), cbar0, 0.0)
         lbar1 = jnp.where((l1 > 0.0) & (l1 < 1.0), cbar1, 0.0)
         lbar2 = jnp.where((l2 > 0.0) & (l2 < 1.0), cbar2, 0.0)
         # lam_k = e_{k+1} / Tn ; T = e0+e1+e2
-        erbar0 = lbar0 / Tn      # -> e1
-        erbar1 = lbar1 / Tn      # -> e2
-        erbar2 = lbar2 / Tn      # -> e0
-        Tbar = -(lbar0 * l0 + lbar1 * l1 + lbar2 * l2) / Tn
+        erbar0 = lbar0 * inv_Tn      # -> e1
+        erbar1 = lbar1 * inv_Tn      # -> e2
+        erbar2 = lbar2 * inv_Tn      # -> e0
+        Tbar = -(lbar0 * l0 + lbar1 * l1 + lbar2 * l2) * inv_Tn
 
         # d = min_k s_k: route dbar to the argmin (ties split evenly)
         m0 = (s0 <= d).astype(jnp.float32)
         m1 = (s1 <= d).astype(jnp.float32)
         m2 = (s2 <= d).astype(jnp.float32)
-        msum = jnp.maximum(m0 + m1 + m2, 1.0)
-        sign = fd[R_SIGN:R_SIGN + 1]
-        sbar0 = dbar * m0 / msum
-        sbar1 = dbar * m1 / msum
-        sbar2 = dbar * m2 / msum
+        dbar_n = dbar / jnp.maximum(m0 + m1 + m2, 1.0)
+        sbar0 = dbar_n * m0
+        sbar1 = dbar_n * m1
+        sbar2 = dbar_n * m2
+        # R_IL holds inv_len * sign, so s_k = e_k * il_s_k directly
         il0 = fd[R_IL + 0:R_IL + 1]
         il1 = fd[R_IL + 1:R_IL + 2]
         il2 = fd[R_IL + 2:R_IL + 3]
-        ilbar0 = sbar0 * e0 * sign
-        ilbar1 = sbar1 * e1 * sign
-        ilbar2 = sbar2 * e2 * sign
+        ilbar0 = sbar0 * e0
+        ilbar1 = sbar1 * e1
+        ilbar2 = sbar2 * e2
 
-        ebar0 = sbar0 * il0 * sign + erbar2 + Tbar
-        ebar1 = sbar1 * il1 * sign + erbar0 + Tbar
-        ebar2 = sbar2 * il2 * sign + erbar1 + Tbar
+        ebar0 = sbar0 * il0 + erbar2 + Tbar
+        ebar1 = sbar1 * il1 + erbar0 + Tbar
+        ebar2 = sbar2 * il2 + erbar1 + Tbar
 
         # e_k = nx_k px + ny_k py + c_k : reduce over pixels
         def col(x):
@@ -293,7 +305,7 @@ def _bwd_kernel(mask_ref, fdata_ref, onehot_ref, res_ref, classes_ref,
         fgrad_ref[R_IZ + 2:R_IZ + 3, pl.ds(f0, FC)] += col(izbar2)
         return 0
 
-    jax.lax.fori_loop(0, num_chunks, body, 0)
+    jax.lax.fori_loop(0, counts_ref[t, 0], body, 0)
 
 
 def _is_tpu() -> bool:
@@ -303,16 +315,16 @@ def _is_tpu() -> bool:
         return False
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def rasterize_core(fdata, onehot, mask, num_classes, image_size, sigma,
-                   gamma, z_far):
-    out = _core_fwd_impl(fdata, onehot, mask, num_classes, image_size,
-                         sigma, gamma, z_far)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def rasterize_core(fdata, onehot, counts, clist, num_classes, image_size,
+                   sigma, gamma, z_far):
+    out = _core_fwd_impl(fdata, onehot, counts, clist, num_classes,
+                         image_size, sigma, gamma, z_far)
     return out[0], out[1]
 
 
-def _core_fwd_impl(fdata, onehot, mask, num_classes, image_size, sigma,
-                   gamma, z_far):
+def _core_fwd_impl(fdata, onehot, counts, clist, num_classes, image_size,
+                   sigma, gamma, z_far):
     P = image_size * image_size
     Fp = fdata.shape[1]
     num_chunks = Fp // FC
@@ -325,7 +337,9 @@ def _core_fwd_impl(fdata, onehot, mask, num_classes, image_size, sigma,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(mask.shape, lambda i: (0, 0),
+            pl.BlockSpec(counts.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(clist.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((16, Fp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -345,21 +359,27 @@ def _core_fwd_impl(fdata, onehot, mask, num_classes, image_size, sigma,
             jax.ShapeDtypeStruct((P, num_classes), jnp.float32),
             jax.ShapeDtypeStruct((P, 4), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # tiles are independent in the forward pass (the bwd kernel is
+            # 'arbitrary': it accumulates fgrad across the grid)
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(mask, fdata, onehot)
+    )(counts, clist, fdata, onehot)
     return depth, classes, res
 
 
-def _core_fwd(fdata, onehot, mask, num_classes, image_size, sigma, gamma,
-              z_far):
-    depth, classes, res = _core_fwd_impl(fdata, onehot, mask, num_classes,
-                                         image_size, sigma, gamma, z_far)
-    return (depth, classes), (fdata, onehot, mask, res, classes)
+def _core_fwd(fdata, onehot, counts, clist, num_classes, image_size, sigma,
+              gamma, z_far):
+    depth, classes, res = _core_fwd_impl(fdata, onehot, counts, clist,
+                                         num_classes, image_size, sigma,
+                                         gamma, z_far)
+    return (depth, classes), (fdata, onehot, counts, clist, res, classes)
 
 
 def _core_bwd(num_classes, image_size, sigma, gamma, z_far, residuals,
               gout):
-    fdata, onehot, mask, res, classes = residuals
+    fdata, onehot, counts, clist, res, classes = residuals
     g_depth, g_classes = gout
     P = image_size * image_size
     Fp = fdata.shape[1]
@@ -372,7 +392,9 @@ def _core_bwd(num_classes, image_size, sigma, gamma, z_far, residuals,
         kernel,
         grid=(P // PT,),
         in_specs=[
-            pl.BlockSpec(mask.shape, lambda i: (0, 0),
+            pl.BlockSpec(counts.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(clist.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((16, Fp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -391,10 +413,14 @@ def _core_bwd(num_classes, image_size, sigma, gamma, z_far, residuals,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((16, Fp), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(mask, fdata, onehot, res, classes, g_depth, g_classes)
-    return fgrad, jnp.zeros_like(onehot), jnp.zeros_like(mask)
+    )(counts, clist, fdata, onehot, res, classes, g_depth, g_classes)
+    # int32 inputs take float0 cotangents
+    zero_i = np.zeros(counts.shape, jax.dtypes.float0)
+    zero_l = np.zeros(clist.shape, jax.dtypes.float0)
+    return fgrad, jnp.zeros_like(onehot), zero_i, zero_l
 
 
 rasterize_core.defvjp(_core_fwd, _core_bwd)
@@ -405,6 +431,22 @@ rasterize_core.defvjp(_core_fwd, _core_bwd)
 # subnormal (min ~1e-45), so both the visibility weight and the
 # transmittance term vanish exactly — skipping is lossless
 CULL_HALO_PX = 8.0
+
+
+def chunk_lists(mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(T, K) overlap mask -> (counts (T, 1) int32, clist (T, K) int32).
+
+    clist[t, :counts[t, 0]] holds the ACTIVE chunk indices for tile t in
+    ascending order; the kernels loop over exactly that prefix (a skipped
+    lax.cond still costs ~1.4 us on v5e, so guarded conds lose). counts is
+    kept 2-D: a 1-D SMEM operand breaks Mosaic's block-shape rule once
+    vmap (batched scenes) prepends a batch dimension."""
+    T, K = mask.shape
+    idx = jnp.arange(K, dtype=jnp.int32)[None, :]
+    key = jnp.where(mask > 0, idx, idx + K)       # actives sort first
+    clist = jnp.argsort(key, axis=1).astype(jnp.int32)
+    counts = (mask > 0).sum(axis=1, keepdims=True).astype(jnp.int32)
+    return counts, clist
 
 
 def chunk_tile_mask(geom: FaceGeometry, image_size: int) -> jnp.ndarray:
@@ -446,8 +488,9 @@ def soft_rasterize_pallas(geom: FaceGeometry, num_classes: int,
     order = jnp.argsort(ycen)
     geom = jax.tree.map(lambda x: x[order], geom)
     fdata, onehot = pack_faces(geom, num_classes)
-    mask = chunk_tile_mask(geom, image_size)
-    depth, classes = rasterize_core(fdata, onehot, mask, num_classes,
-                                    image_size, sigma, gamma, z_far)
+    counts, clist = chunk_lists(chunk_tile_mask(geom, image_size))
+    depth, classes = rasterize_core(fdata, onehot, counts, clist,
+                                    num_classes, image_size, sigma, gamma,
+                                    z_far)
     S = image_size
     return depth.reshape(S, S), classes.reshape(S, S, num_classes)

@@ -56,17 +56,54 @@ def parse_args(argv=None):
                    help="SPADE render size (reference: 256)")
     p.add_argument("--spade_ngf", default=64, type=int,
                    help="SPADE width (reference: 64)")
-    return p.parse_args(argv)
+    # model/data flags the reference test.py inherits from its global
+    # Options (options/options.py:18-61); honored when building the model
+    # (they matter with --allow_random_weights; a restored checkpoint's
+    # weights must match them, same as the reference)
+    from sln_tpu.utils.cli import (add_reference_compat_flags,
+                                   apply_reference_compat_flags, bool_flag)
+    p.add_argument("--dataset", default="suncg", choices=["suncg"])
+    p.add_argument("--embedding_dim", default=64, type=int)
+    p.add_argument("--gconv_mode", default="feedforward")
+    p.add_argument("--gconv_num_layers", default=5, type=int)
+    p.add_argument("--mlp_normalization", default="batch", type=str)
+    p.add_argument("--use_AE", default=False, type=bool_flag)
+    p.add_argument("--decoder_cat", default=True, type=bool_flag)
+    p.add_argument("--train_3d", default=True, type=bool_flag)
+    p.add_argument("--use_attr_30", default=True, type=bool_flag)
+    # train-only flags accepted so any reference invocation parses
+    p.add_argument("--KL_loss_weight", default=0.1, type=float)
+    p.add_argument("--KL_linear_decay", default=False, type=bool_flag)
+    p.add_argument("--learning_rate", default=1e-4, type=float)
+    p.add_argument("--num_iterations", default=600000, type=int)
+    p.add_argument("--eval_mode_after", default=-1, type=int)
+    p.add_argument("--print_every", default=100, type=int)
+    p.add_argument("--checkpoint_every", default=1000, type=int)
+    p.add_argument("--snapshot_every", default=10000, type=int)
+    p.add_argument("--restore_from_checkpoint", default=False,
+                   type=bool_flag)
+    add_reference_compat_flags(p)
+    args = p.parse_args(argv)
+    apply_reference_compat_flags(args)
+    return args
 
 
 def build_cfg(args):
-    from sln_tpu.config import (DataConfig, SpadeConfig, TrainConfig,
-                                default_config)
+    from sln_tpu.config import (DataConfig, ModelConfig, SpadeConfig,
+                                TrainConfig, default_config)
     cfg = default_config()
     return cfg.replace(
+        model=ModelConfig(
+            embedding_dim=args.embedding_dim,
+            gconv_num_layers=args.gconv_num_layers,
+            gconv_mode=args.gconv_mode,
+            mlp_normalization=args.mlp_normalization,
+            decoder_cat=args.decoder_cat, use_ae=args.use_AE,
+            train_3d=args.train_3d),
         data=DataConfig(max_objects=args.max_objects,
                         max_triples=args.max_objects * 3,
                         max_on_rels=args.max_objects,
+                        use_attr_30=args.use_attr_30,
                         train_path=args.suncg_train_dir,
                         val_path=args.suncg_val_dir),
         train=TrainConfig(output_dir=args.output_dir,
@@ -99,7 +136,8 @@ def setup(args, cfg):
         jnp.asarray(train_arrays["angles"][:b]),
         jnp.asarray(train_arrays["obj_mask"][:b]),
         jnp.asarray(train_arrays["room_ids"][:b]), size_info,
-        max_on_rels=cfg.data.max_on_rels)
+        max_on_rels=cfg.data.max_on_rels,
+        use_attr_30=cfg.data.use_attr_30)
     model, variables = common.restore_model(cfg, example,
                                             args.allow_random_weights)
     return model, variables, train_arrays, val_arrays, size_info

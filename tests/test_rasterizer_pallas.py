@@ -63,3 +63,31 @@ def test_pallas_gradients_match_jax():
         assert np.isfinite(a).all()
         scale = max(np.abs(b).max(), 1e-3)
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3 * scale)
+
+
+def test_pallas_vmap_batched_scenes():
+    """Batched (vmapped) rasterization must equal per-scene calls — the
+    serving/bench configuration; vmap prepends a batch dimension to the
+    SMEM chunk-list operands (counts must stay 2-D for Mosaic)."""
+    geoms = [face_geometry(*random_geom(seed=s)) for s in (0, 1, 2)]
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *geoms)
+
+    run = lambda g: rp.soft_rasterize_pallas(g, 5, S, sigma=0.7,
+                                             gamma=0.02, z_far=ZFAR)
+    d_b, c_b = jax.jit(jax.vmap(run))(batched)
+    for i, g in enumerate(geoms):
+        d_i, c_i = run(g)
+        np.testing.assert_allclose(np.asarray(d_b[i]), np.asarray(d_i),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c_b[i]), np.asarray(c_i),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_chunk_lists_prefix_matches_mask():
+    mask = jnp.asarray(np.array([[1, 0, 1, 0], [0, 0, 0, 0],
+                                 [1, 1, 1, 1]], np.float32))
+    counts, clist = rp.chunk_lists(mask)
+    assert counts.shape == (3, 1)       # 2-D: SMEM under vmap (Mosaic rule)
+    np.testing.assert_array_equal(np.asarray(counts[:, 0]), [2, 0, 4])
+    np.testing.assert_array_equal(np.asarray(clist[0, :2]), [0, 2])
+    np.testing.assert_array_equal(np.asarray(clist[2]), [0, 1, 2, 3])

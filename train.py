@@ -70,7 +70,12 @@ def parse_args(argv=None):
     p.add_argument("--max_objects", default=32, type=int)
     p.add_argument("--num_data_shards", default=None, type=int,
                    help="data-parallel mesh size (default: all devices)")
-    return p.parse_args(argv)
+    from sln_tpu.utils.cli import (add_reference_compat_flags,
+                                   apply_reference_compat_flags)
+    add_reference_compat_flags(p)
+    args = p.parse_args(argv)
+    apply_reference_compat_flags(args)
+    return args
 
 
 def config_from_args(args) -> Config:
