@@ -127,9 +127,16 @@ def _chunk_geometry(fd, px, py, sigma, gamma):
 
 
 def _pixel_coords(tile_idx, image_size):
-    p = tile_idx * PT + jax.lax.broadcasted_iota(jnp.int32, (PT, 1), 0)
-    px = (p % image_size).astype(jnp.float32) + 0.5
-    py = (p // image_size).astype(jnp.float32) + 0.5
+    # float divmod: the VPU has no integer divide (int // and % lower to a
+    # multi-op magic-multiply emulation). Dividing p + 0.5 (never near an
+    # integer boundary: margin 0.5/S vs fp32 error ~(p/S)*2^-23) makes the
+    # floor robust to the rounded reciprocal up to ~4k-pixel images.
+    p = (tile_idx * PT
+         + jax.lax.broadcasted_iota(jnp.int32, (PT, 1), 0)).astype(
+        jnp.float32)
+    row = jnp.floor((p + 0.5) * (1.0 / image_size))
+    px = p - row * image_size + 0.5
+    py = row + 0.5
     return px, py
 
 
