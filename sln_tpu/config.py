@@ -205,6 +205,10 @@ class SpadeConfig:
     crop_size: int = 256
     n_up: str = "normal"
     num_z: int = 50                   # test.py:94
+    # conv compute dtype for inference shading ("float32" | "bfloat16");
+    # params stay fp32 either way. bfloat16 runs the MXU at full rate
+    # (~3x the fp32 3-pass decomposition) at ~1e-2 output tolerance.
+    compute_dtype: str = "float32"
 
 
 # ---------------------------------------------------------------------------

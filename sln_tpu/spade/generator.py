@@ -25,11 +25,14 @@ class SPADEGenerator4(nn.Module):
     ngf: int = 64
     crop_size: int = 256
     n_up: str = "normal"
+    # conv compute dtype; params stay fp32. bfloat16 runs the MXU at full
+    # rate (the fp32 path decomposes each conv into 3 bf16 passes on TPU)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, seg: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
         """seg: (B, H, W, 41) NHWC (depth in channel 0); z: (B, 256).
-        Returns (B, 256, 256, 3) in [-1, 1]."""
+        Returns (B, 256, 256, 3) fp32 in [-1, 1]."""
         nf = self.ngf
         num_up = {"normal": 5, "more": 6, "most": 7}[self.n_up]
         sw = self.crop_size // (2 ** num_up)
@@ -37,10 +40,15 @@ class SPADEGenerator4(nn.Module):
         x = nn.Dense(16 * nf * sw * sw, name="fc")(z)
         # torch reshapes NCHW: (B, 16nf, sh, sw) -> NHWC transpose
         x = x.reshape(-1, 16 * nf, sw, sw).transpose(0, 2, 3, 1)
+        x = x.astype(self.dtype)                 # residual stream dtype
+
+        def blk(fin, fout, name):
+            return SPADEResnetBlock4(fin, fout, dtype=self.dtype,
+                                     name=name)
 
         # F.interpolate default mode is NEAREST here (reference :1579)
         seg_1 = resize_nearest(seg, sw, sw)
-        x = SPADEResnetBlock4(16 * nf, 16 * nf, name="head_0")(x, seg_1)
+        x = blk(16 * nf, 16 * nf, "head_0")(x, seg_1)
 
         def up_n(t):
             return resize_nearest(t, t.shape[1] * 2, t.shape[2] * 2)
@@ -49,17 +57,18 @@ class SPADEGenerator4(nn.Module):
             return resize_bilinear(t, t.shape[1] * 2, t.shape[2] * 2)
 
         x = up_n(x)
-        x = SPADEResnetBlock4(16 * nf, 16 * nf, name="G_middle_0")(x, seg)
-        x = SPADEResnetBlock4(16 * nf, 16 * nf, name="G_middle_1")(x, seg)
+        x = blk(16 * nf, 16 * nf, "G_middle_0")(x, seg)
+        x = blk(16 * nf, 16 * nf, "G_middle_1")(x, seg)
         x = up_n(x)
-        x = SPADEResnetBlock4(16 * nf, 8 * nf, name="up_0")(x, seg)
+        x = blk(16 * nf, 8 * nf, "up_0")(x, seg)
         x = up_n(x)
-        x = SPADEResnetBlock4(8 * nf, 4 * nf, name="up_1")(x, seg)
+        x = blk(8 * nf, 4 * nf, "up_1")(x, seg)
         x = up_n(x)
-        x = SPADEResnetBlock4(4 * nf, 2 * nf, name="up_2")(x, seg)
+        x = blk(4 * nf, 2 * nf, "up_2")(x, seg)
         x = up_b(x)
-        x = SPADEResnetBlock4(2 * nf, 1 * nf, name="up_3")(x, seg)
+        x = blk(2 * nf, 1 * nf, "up_3")(x, seg)
 
         x = nn.leaky_relu(x, 0.2)
-        x = nn.Conv(self.target_nc, (5, 5), padding=2, name="conv_img")(x)
-        return jnp.tanh(x)
+        x = nn.Conv(self.target_nc, (5, 5), padding=2, dtype=self.dtype,
+                    name="conv_img")(x)
+        return jnp.tanh(x.astype(jnp.float32))

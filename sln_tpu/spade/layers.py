@@ -34,18 +34,22 @@ def reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
 
 
 class PadConv(nn.Module):
-    """ReflectionPad2d(p) + Conv2d(k, padding=0)."""
+    """ReflectionPad2d(p) + Conv2d(k, padding=0).
+
+    `dtype` is the conv COMPUTE dtype (params stay fp32): bfloat16 runs
+    the MXU at full rate instead of the 3-pass fp32 decomposition."""
     features: int
     kernel: int
     pad: int
     use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = reflect_pad(x, self.pad)
         return nn.Conv(self.features, (self.kernel, self.kernel),
                        padding="VALID", use_bias=self.use_bias,
-                       name="conv")(x)
+                       dtype=self.dtype, name="conv")(x)
 
 
 def layer_norm_2d(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
@@ -88,6 +92,7 @@ class SPADE4(nn.Module):
     label_nc: int = 41
     ks: int = 3
     nhidden: int = 128
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, segmap: jnp.ndarray) -> jnp.ndarray:
@@ -97,14 +102,18 @@ class SPADE4(nn.Module):
 
         seg = resize_bilinear(segmap, x.shape[1], x.shape[2])
         pw = self.ks // 2
-        depth = PadConv(self.nhidden // 8, self.ks, pw,
+        depth = PadConv(self.nhidden // 8, self.ks, pw, dtype=self.dtype,
                         name="mlp_preshared_depth")(seg[..., 0:1])
         depth = nn.leaky_relu(depth, 0.01)
-        actv = PadConv(self.nhidden, 3, pw, name="mlp_shared")(
-            jnp.concatenate([depth, seg[..., 1:]], axis=-1))
+        actv = PadConv(self.nhidden, 3, pw, dtype=self.dtype,
+                       name="mlp_shared")(
+            jnp.concatenate([depth, seg[..., 1:].astype(depth.dtype)],
+                            axis=-1))
         actv = nn.relu(actv)
-        gamma = PadConv(self.norm_nc, self.ks, pw, name="mlp_gamma")(actv)
-        beta = PadConv(self.norm_nc, self.ks, pw, name="mlp_beta")(actv)
+        gamma = PadConv(self.norm_nc, self.ks, pw, dtype=self.dtype,
+                        name="mlp_gamma")(actv)
+        beta = PadConv(self.norm_nc, self.ks, pw, dtype=self.dtype,
+                       name="mlp_beta")(actv)
         return normalized * (1.0 + gamma) + beta
 
 
@@ -121,7 +130,9 @@ class SEBlock2(nn.Module):
         y = nn.relu(y)
         y = nn.Dense(self.channels, use_bias=False, name="fc2")(y)
         y = jax.nn.sigmoid(y)
-        return x * y[:, None, None, :]
+        # cast the (B, C) gate, not the (B, H, W, C) stream: keeps the
+        # multiply in the stream dtype (no fp32 round-trip under bf16)
+        return x * y[:, None, None, :].astype(x.dtype)
 
 
 class SPADEResnetBlock4(nn.Module):
@@ -129,6 +140,7 @@ class SPADEResnetBlock4(nn.Module):
     fin: int
     fout: int
     label_nc: int = 41
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, seg: jnp.ndarray) -> jnp.ndarray:
@@ -137,16 +149,19 @@ class SPADEResnetBlock4(nn.Module):
 
         if learned_shortcut:
             x_s = nn.Conv(self.fout, (1, 1), padding="VALID",
-                          use_bias=False, name="conv_s")(
-                SPADE4(self.fin, self.label_nc, name="norm_s")(x, seg))
+                          use_bias=False, dtype=self.dtype, name="conv_s")(
+                SPADE4(self.fin, self.label_nc, dtype=self.dtype,
+                       name="norm_s")(x, seg))
         else:
             x_s = x
 
-        dx = SPADE4(self.fin, self.label_nc, name="norm_0")(x, seg)
-        dx = PadConv(fmiddle, 3, 1, name="conv_0")(
+        dx = SPADE4(self.fin, self.label_nc, dtype=self.dtype,
+                    name="norm_0")(x, seg)
+        dx = PadConv(fmiddle, 3, 1, dtype=self.dtype, name="conv_0")(
             nn.leaky_relu(dx, 0.2))
-        dx = SPADE4(fmiddle, self.label_nc, name="norm_1")(dx, seg)
-        dx = PadConv(self.fout, 3, 1, name="conv_1")(
+        dx = SPADE4(fmiddle, self.label_nc, dtype=self.dtype,
+                    name="norm_1")(dx, seg)
+        dx = PadConv(self.fout, 3, 1, dtype=self.dtype, name="conv_1")(
             nn.leaky_relu(dx, 0.2))
         dx = SEBlock2(self.fout, name="se")(dx)
-        return x_s + dx
+        return (x_s + dx).astype(x.dtype)

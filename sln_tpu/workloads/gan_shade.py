@@ -109,10 +109,13 @@ def make_spade_model(cfg: Config, checkpoint_path: Optional[str] = None):
     """Generator + params (ported reference checkpoint or random init)."""
     import jax
 
+    import jax.numpy as jnp
+
     sp = cfg.spade
     model = SPADEGenerator4(semantic_nc=sp.semantic_nc,
                             target_nc=sp.target_nc, nz=sp.nz, ngf=sp.ngf,
-                            crop_size=sp.crop_size, n_up=sp.n_up)
+                            crop_size=sp.crop_size, n_up=sp.n_up,
+                            dtype=jnp.dtype(sp.compute_dtype))
     path = checkpoint_path or os.path.join(cfg.train.output_dir,
                                            "latest_net_G_AB.pth")
     if os.path.isfile(path):

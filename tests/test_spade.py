@@ -71,6 +71,26 @@ def test_generator4_shapes_and_range():
     assert float(jnp.abs(out).max()) <= 1.0
 
 
+def test_generator4_bf16_compute_close_to_fp32():
+    """bfloat16 compute dtype (params fp32) must track the fp32 path to
+    image tolerance — the TPU-fast inference mode (SpadeConfig
+    .compute_dtype); outputs are tanh'd into [-1, 1] so 3e-2 abs is
+    invisible in 8-bit RGB."""
+    model32 = SPADEGenerator4(ngf=16, nz=32, crop_size=64)
+    model16 = SPADEGenerator4(ngf=16, nz=32, crop_size=64,
+                              dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(3)
+    seg = jax.random.uniform(key, (2, 64, 64, 41))
+    z = jax.random.normal(jax.random.fold_in(key, 1), (2, 32))
+    params = model32.init(jax.random.PRNGKey(0), seg, z)["params"]
+    out32 = model32.apply({"params": params}, seg, z)
+    out16 = model16.apply({"params": params}, seg, z)
+    assert out16.dtype == jnp.float32          # output contract is fp32
+    diff = np.abs(np.asarray(out16) - np.asarray(out32))
+    assert diff.max() < 0.1, diff.max()        # worst pixel < ~13/255
+    assert diff.mean() < 8e-3, diff.mean()     # typical error ~1.5/255
+
+
 def test_classic_spade_generator_shapes():
     from sln_tpu.spade.classic import SPADEGenerator
     model = SPADEGenerator(ngf=8, nz=16, crop_size=64)
