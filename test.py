@@ -45,6 +45,12 @@ def parse_args(argv=None):
                         "(reference save_images save_semantic flag)")
     p.add_argument("--blender_path", default="", type=str)
     p.add_argument("--blender_script", default="", type=str)
+    p.add_argument("--renderer", default="auto",
+                   choices=["auto", "blender", "preview"],
+                   help="--draw_3d backend: Cycles via the bundled "
+                        "Blender script, the rasterizer-shaded preview "
+                        "(no Blender binary needed), or auto = Blender "
+                        "when available with preview fallback")
     p.add_argument("--semantic_source", default="rasterizer",
                    choices=["rasterizer", "blender", "files"],
                    help="gan_shade mask/depth source: in-process "
@@ -218,17 +224,28 @@ def main(argv=None):
     if args.draw_3d:
         # Photoreal Cycles render via the bundled modern-Blender script
         # (sln_tpu/render/blender/render_color.py); same subprocess
-        # contract as the reference (testing/test_plot3d.py:4-8). Needs a
-        # blender binary on PATH (or --blender_path).
+        # contract as the reference (testing/test_plot3d.py:4-8). Without
+        # a blender binary (or with --renderer preview) the
+        # rasterizer-shaded on-device preview renders the same layouts to
+        # the same artifact names (sln_tpu/render/preview.py).
         from sln_tpu.render import blender_bridge
-        try:
-            blender_bridge.run_color_render(
-                args.test_dir, args.blender_path or None,
-                args.blender_script or None)
-            print("Blender render finished; images in "
-                  f"{os.path.join(args.test_dir, 'data', 'rendered')}")
-        except blender_bridge.BlenderNotAvailable as e:
-            print(f"draw_3d unavailable: {e}")
+        out = os.path.join(args.test_dir, "data", "rendered")
+        if args.renderer in ("auto", "blender"):
+            try:
+                blender_bridge.run_color_render(
+                    args.test_dir, args.blender_path or None,
+                    args.blender_script or None)
+                print(f"Blender render finished; images in {out}")
+                return
+            except blender_bridge.BlenderNotAvailable as e:
+                if args.renderer == "blender":
+                    print(f"draw_3d unavailable: {e}")
+                    return
+                print(f"no Blender binary ({e}); using the rasterizer "
+                      "preview renderer")
+        from sln_tpu.render import preview
+        n = preview.run_preview_renders(args.test_dir)
+        print(f"preview render finished; {n} images in {out}")
         return
 
     if args.fine_tune:
