@@ -34,6 +34,12 @@ class ModelConfig:
     use_ae: bool = False                       # options/options.py:54
     train_3d: bool = True
     num_angles: int = 24                       # Sg2ScVAE_model.py:10
+    # MLP/gconv compute dtype ("float32" | "bfloat16"); params and all
+    # model outputs stay fp32. The decoder at sampling batch sizes is
+    # HBM-bound on activations, so bfloat16 nearly halves its traffic —
+    # used by the mass-sampling workloads; fp32 stays the default for
+    # reference parity.
+    compute_dtype: str = "float32"
 
     # Vocabulary sizes (see sln_tpu.data.vocab). Stored here so the model is
     # self-describing without a vocab object.

@@ -40,6 +40,7 @@ class GraphTripleConv(nn.Module):
     hidden_dim: int
     output_dim: Optional[int] = None
     mlp_normalization: str = "none"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, obj_vecs: jnp.ndarray, pred_vecs: jnp.ndarray,
@@ -70,7 +71,8 @@ class GraphTripleConv(nn.Module):
         t_in = jnp.concatenate([cur_s, pred_vecs, cur_o], axis=-1)
 
         net1 = MLP((3 * Din, H, 2 * H + Dout),
-                   batch_norm=self.mlp_normalization, name="net1")
+                   batch_norm=self.mlp_normalization, dtype=self.dtype,
+                   name="net1")
         t_out = net1(_flat(t_in), _flat(triple_mask), train)
         t_out = t_out.reshape(B, T, 2 * H + Dout)
 
@@ -81,7 +83,7 @@ class GraphTripleConv(nn.Module):
         pooled = graphops.avg_pool_edges(None, s_oh, o_oh, new_s, new_o)
 
         net2 = MLP((H, H, Dout), batch_norm=self.mlp_normalization,
-                   name="net2")
+                   dtype=self.dtype, name="net2")
         new_obj = net2(_flat(pooled), _flat(obj_mask), train)
         new_obj = new_obj.reshape(B, O, Dout)
         return new_obj, new_p
@@ -95,6 +97,7 @@ class GraphTripleConvNet(nn.Module):
     num_layers: int = 5
     mode: str = "feedforward"          # 'feedforward' | 'recurrent'
     mlp_normalization: str = "none"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, obj_vecs, pred_vecs, edges, obj_mask, triple_mask,
@@ -102,7 +105,8 @@ class GraphTripleConvNet(nn.Module):
         if self.mode == "recurrent":
             shared = GraphTripleConv(
                 input_dim=self.input_dim, hidden_dim=self.hidden_dim,
-                mlp_normalization=self.mlp_normalization, name="gconv_shared")
+                mlp_normalization=self.mlp_normalization, dtype=self.dtype,
+                name="gconv_shared")
             for _ in range(self.num_layers):
                 obj_vecs, pred_vecs = shared(
                     obj_vecs, pred_vecs, edges, obj_mask, triple_mask, train)
@@ -111,7 +115,7 @@ class GraphTripleConvNet(nn.Module):
                 obj_vecs, pred_vecs = GraphTripleConv(
                     input_dim=self.input_dim, hidden_dim=self.hidden_dim,
                     mlp_normalization=self.mlp_normalization,
-                    name=f"gconv_{i}")(
+                    dtype=self.dtype, name=f"gconv_{i}")(
                     obj_vecs, pred_vecs, edges, obj_mask, triple_mask, train)
         else:
             raise ValueError(f"Invalid mode {self.mode!r}")

@@ -73,6 +73,8 @@ class MLP(nn.Module):
     batch_norm: str = "none"          # 'batch' | 'none'
     final_plain: bool = False          # reference `norelu`
     kernel_init: nn.initializers.Initializer = kaiming_normal
+    # compute dtype (params stay fp32); bfloat16 halves activation traffic
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
@@ -80,7 +82,7 @@ class MLP(nn.Module):
         num_stages = len(self.dims) - 1
         for i in range(num_stages):
             x = nn.Dense(self.dims[i + 1], kernel_init=self.kernel_init,
-                         name=f"dense_{i}")(x)
+                         dtype=self.dtype, name=f"dense_{i}")(x)
             is_last = i == num_stages - 1
             if is_last and self.final_plain:
                 break

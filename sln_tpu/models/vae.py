@@ -34,6 +34,8 @@ class Sg2ScVAE(nn.Module):
     def setup(self):
         c = self.cfg
         e = c.embedding_dim
+        dt = jnp.dtype(c.compute_dtype)
+        self._dt = dt
         # Encoder embeddings (reference: Sg2ScVAE_model.py:44-57)
         self.obj_embeddings_ec = nn.Embed(c.num_objs + 1, c.obj_embedding_dim,
                                           embedding_init=embed_init)
@@ -57,35 +59,35 @@ class Sg2ScVAE(nn.Module):
         # Posterior heads (reference: Sg2ScVAE_model.py:59-66)
         bn = c.mlp_normalization
         self.box_mean_var = MLP((2 * e, c.gconv_hidden_dim, 2 * e),
-                                batch_norm=bn)
+                                batch_norm=bn, dtype=dt)
         self.box_mean = MLP((2 * e, c.box_embedding_dim), batch_norm=bn,
-                            final_plain=True)
+                            final_plain=True, dtype=dt)
         self.box_var = MLP((2 * e, c.box_embedding_dim), batch_norm=bn,
-                           final_plain=True)
+                           final_plain=True, dtype=dt)
         self.angle_mean_var = MLP((2 * e, c.gconv_hidden_dim, 2 * e),
-                                  batch_norm=bn)
+                                  batch_norm=bn, dtype=dt)
         self.angle_mean = MLP((2 * e, c.angle_embedding_dim), batch_norm=bn,
-                              final_plain=True)
+                              final_plain=True, dtype=dt)
         self.angle_var = MLP((2 * e, c.angle_embedding_dim), batch_norm=bn,
-                             final_plain=True)
+                             final_plain=True, dtype=dt)
 
         # Graph conv stacks (reference: Sg2ScVAE_model.py:67-89)
         self.gconv_net_ec = GraphTripleConvNet(
             input_dim=2 * e, hidden_dim=c.gconv_hidden_dim,
             num_layers=c.gconv_num_layers, mode=c.gconv_mode,
-            mlp_normalization=bn)
+            mlp_normalization=bn, dtype=dt)
         dc_input = 2 * e if c.decoder_cat else e
         self.gconv_net_dc = GraphTripleConvNet(
             input_dim=dc_input, hidden_dim=c.gconv_hidden_dim,
             num_layers=c.gconv_num_layers, mode=c.gconv_mode,
-            mlp_normalization=bn)
+            mlp_normalization=bn, dtype=dt)
 
         # Output heads (reference: Sg2ScVAE_model.py:91-103)
         box_in = 2 * e + (c.attr_embedding_dim if c.use_attr else 0)
         self.box_net = MLP((box_in, c.gconv_hidden_dim, c.box_dim),
-                           batch_norm=bn, final_plain=True)
+                           batch_norm=bn, final_plain=True, dtype=dt)
         self.angle_net = MLP((2 * e, c.gconv_hidden_dim, c.num_angles),
-                             batch_norm=bn, final_plain=True)
+                             batch_norm=bn, final_plain=True, dtype=dt)
 
     # ------------------------------------------------------------------
     def encode(self, batch: SceneBatch, train: bool = False
@@ -105,6 +107,8 @@ class Sg2ScVAE(nn.Module):
         pred_vecs = self.pred_embeddings_ec(batch.preds)
         box_vecs = self.box_embeddings(batch.boxes)
         obj_vecs = jnp.concatenate([obj_vecs, box_vecs, angle_vecs], axis=-1)
+        obj_vecs = obj_vecs.astype(self._dt)
+        pred_vecs = pred_vecs.astype(self._dt)
 
         obj_vecs, _ = self.gconv_net_ec(
             obj_vecs, pred_vecs, batch.edges, batch.obj_mask,
@@ -123,7 +127,7 @@ class Sg2ScVAE(nn.Module):
         mu = jnp.concatenate([mu_box, mu_angle], axis=-1).reshape(B, O, -1)
         logvar = jnp.concatenate([logvar_box, logvar_angle],
                                  axis=-1).reshape(B, O, -1)
-        return mu, logvar
+        return mu.astype(jnp.float32), logvar.astype(jnp.float32)
 
     # ------------------------------------------------------------------
     def decode(self, z: jnp.ndarray, batch: SceneBatch, train: bool = False
@@ -140,16 +144,19 @@ class Sg2ScVAE(nn.Module):
             obj_vecs = jnp.concatenate([obj_vecs, attr_vecs], axis=-1)
         pred_vecs = self.pred_embeddings_dc(batch.preds)
 
+        pred_vecs = pred_vecs.astype(self._dt)
         if c.decoder_cat:
-            obj_vecs = jnp.concatenate([obj_vecs, z], axis=-1)
+            obj_vecs = jnp.concatenate([obj_vecs, z],
+                                       axis=-1).astype(self._dt)
             obj_vecs, _ = self.gconv_net_dc(
                 obj_vecs, pred_vecs, batch.edges, batch.obj_mask,
                 batch.triple_mask, train)
         else:
             obj_vecs, _ = self.gconv_net_dc(
-                obj_vecs, pred_vecs, batch.edges, batch.obj_mask,
-                batch.triple_mask, train)
-            obj_vecs = jnp.concatenate([obj_vecs, z], axis=-1)
+                obj_vecs.astype(self._dt), pred_vecs, batch.edges,
+                batch.obj_mask, batch.triple_mask, train)
+            obj_vecs = jnp.concatenate([obj_vecs, z.astype(self._dt)],
+                                       axis=-1)
 
         B, O = batch.objs.shape
         flat_mask = _flat(batch.obj_mask)
@@ -158,11 +165,12 @@ class Sg2ScVAE(nn.Module):
             box_in = jnp.concatenate([flat, _flat(attr_vecs)], axis=-1)
         else:
             box_in = flat
-        boxes_pred = self.box_net(box_in, flat_mask, train).reshape(B, O, -1)
+        boxes_pred = self.box_net(box_in, flat_mask,
+                                  train).reshape(B, O, -1)
         angle_logits = self.angle_net(flat, flat_mask, train)
-        angle_logprobs = jax.nn.log_softmax(angle_logits,
-                                            axis=-1).reshape(B, O, -1)
-        return boxes_pred, angle_logprobs
+        angle_logprobs = jax.nn.log_softmax(
+            angle_logits.astype(jnp.float32), axis=-1).reshape(B, O, -1)
+        return boxes_pred.astype(jnp.float32), angle_logprobs
 
     # ------------------------------------------------------------------
     def __call__(self, batch: SceneBatch, rng: Optional[jax.Array] = None,

@@ -37,6 +37,22 @@ def test_no_batchnorm():
     _run(ModelConfig(mlp_normalization="none"))
 
 
+def test_bfloat16_compute_close_to_fp32():
+    """ModelConfig.compute_dtype='bfloat16' (params fp32, fp32 outputs)
+    must track the fp32 path: boxes are normalized [0,1]-ish so 2e-2 abs
+    is below any eval-metric threshold."""
+    batch = _batch()
+    m32 = Sg2ScVAE(ModelConfig())
+    m16 = Sg2ScVAE(ModelConfig(compute_dtype="bfloat16"))
+    variables = m32.init(jax.random.PRNGKey(0), batch, None, False)
+    mu32, lv32, b32, a32 = m32.apply(variables, batch, None, False)
+    mu16, lv16, b16, a16 = m16.apply(variables, batch, None, False)
+    assert b16.dtype == jnp.float32 and mu16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(b16), np.asarray(b32), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(mu16), np.asarray(mu32),
+                               atol=5e-2)
+
+
 def test_use_ae_mode():
     cfg = ModelConfig(use_ae=True)
     model = Sg2ScVAE(cfg)
