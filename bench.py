@@ -7,7 +7,7 @@
   refine_render_grad_steps_per_sec_256px      strict reference parity size
   spade_imgs_per_sec_256px                    SPADEGenerator4 ngf=64 @256px
   eval_scene_graph_acc / eval_l1_pred / ...   quality on the committed
-                                              3k-iter checkpoint (ties the
+                                              trained checkpoint (ties the
                                               throughput to real metrics)
   sampled_layouts_per_sec_per_chip            >= 5000/s  (headline, printed
                                               last; uses the trained model
@@ -137,8 +137,9 @@ def bench_spade(batch: int = 10, steps: int = 10) -> dict:
     """SPADEGenerator4 at full reference size (ngf=64, 256px, z-batches
     of `batch` like colorize's z_chunk). Tracked metric (no fixed floor,
     BASELINE.md). The timed region is one scanned device program with a
-    fetched checksum (see bench_layouts for why); at 57 TFLOP/s measured
-    this sits at ~88% of the v5e fp32-conv ceiling (bf16x3 ~66 TFLOP/s)."""
+    fetched checksum (see bench_layouts for why). The generator is
+    HBM-bandwidth-bound at ~80% of the v5e roofline (bf16 compute only
+    buys 165 -> 192 imgs/s — see SpadeConfig.compute_dtype)."""
     import jax
     import jax.numpy as jnp
 
@@ -177,7 +178,8 @@ def bench_spade(batch: int = 10, steps: int = 10) -> dict:
 # trained model + real posterior (quality-linked throughput)
 # ---------------------------------------------------------------------------
 def _load_bench_model():
-    """Committed 3k-iter checkpoint (artifacts/, see README bench notes) +
+    """Committed trained checkpoint (6k iters + KL free-bits 0.05,
+    artifacts/, see README bench notes) +
     posterior mean/cov over the same synthetic train distribution."""
     import jax.numpy as jnp
 
@@ -357,16 +359,22 @@ def main():
             except Exception as e:
                 _fail(name, e)
             continue
-        proc = subprocess.run(
-            [sys.executable, here, "--only", name],
-            capture_output=True, text=True, timeout=1800)
         emitted = False
-        for line in proc.stdout.splitlines():
-            if line.startswith("{"):
-                print(line, flush=True)
-                emitted = True
-        if proc.returncode != 0 or not emitted:
-            tail = proc.stderr.strip().splitlines()[-3:]
+        try:
+            proc = subprocess.run(
+                [sys.executable, here, "--only", name],
+                capture_output=True, text=True, timeout=1800)
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+                    emitted = True
+            failed, err_tail = proc.returncode != 0, proc.stderr
+        except subprocess.TimeoutExpired as e:
+            # a TPU process blocked by another chip holder HANGS rather
+            # than fails (CLAUDE.md) — never let that kill the whole run
+            failed, err_tail = True, f"timeout after {e.timeout}s"
+        if failed or not emitted:
+            tail = str(err_tail).strip().splitlines()[-3:]
             print(f"bench {name} subprocess failed: " + " | ".join(tail),
                   file=sys.stderr, flush=True)
             if name == "layouts" and not emitted:

@@ -30,20 +30,29 @@ _PALETTE = np.asarray(MAPPED_COLORS, np.float32) / 255.0       # (40, 3)
 
 def _world_faces(meshes: List[dict]):
     """Mesh dicts (scene_spec.scene_meshes) -> flat world-space triangle
-    soup: verts (V, 3), faces (F, 3) int, face_class (F,) NYU-40 ids."""
+    soup: verts (V, 3), faces (F, 3) int, face_class (F,) NYU-40 ids.
+
+    The wall/floor/ceiling entries share one vertex array under one
+    matrix (disjoint face subsets); dedupe on (id(verts), id(matrix)) so
+    the shared shell vertices are transformed and projected once."""
     verts, faces, fcls = [], [], []
-    base = 0
+    base, seen = 0, {}
     for m in meshes:
-        v = np.asarray(m["verts"], np.float64)
-        vw = v @ m["matrix"][:3, :3].T + m["matrix"][:3, 3]
         f = np.asarray(m["faces"], np.int64)
         if len(f) == 0:
             continue
-        verts.append(vw.astype(np.float32))
-        faces.append(f + base)
+        key = (id(m["verts"]), id(m["matrix"]))
+        if key in seen:
+            off = seen[key]
+        else:
+            v = np.asarray(m["verts"], np.float64)
+            vw = v @ m["matrix"][:3, :3].T + m["matrix"][:3, 3]
+            verts.append(vw.astype(np.float32))
+            seen[key] = off = base
+            base += len(vw)
+        faces.append(f + off)
         fcls.append(np.full(len(f), NYU40_CLASSES.index(m["class_name"]),
                             np.int32))
-        base += len(vw)
     if not verts:
         return (np.zeros((3, 3), np.float32), np.zeros((1, 3), np.int64),
                 np.zeros(1, np.int32))

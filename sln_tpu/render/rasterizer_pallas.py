@@ -130,7 +130,9 @@ def _pixel_coords(tile_idx, image_size):
     # float divmod: the VPU has no integer divide (int // and % lower to a
     # multi-op magic-multiply emulation). Dividing p + 0.5 (never near an
     # integer boundary: margin 0.5/S vs fp32 error ~(p/S)*2^-23) makes the
-    # floor robust to the rounded reciprocal up to ~4k-pixel images.
+    # floor robust to the rounded reciprocal for p < 2^22, i.e. images up
+    # to 2048 px (beyond that, and certainly once p+0.5 stops being fp32-
+    # representable at p >= 2^23, switch back to integer divmod).
     p = (tile_idx * PT
          + jax.lax.broadcasted_iota(jnp.int32, (PT, 1), 0)).astype(
         jnp.float32)

@@ -62,6 +62,9 @@ def parse_args(argv=None):
                    help="SPADE render size (reference: 256)")
     p.add_argument("--spade_ngf", default=64, type=int,
                    help="SPADE width (reference: 64)")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="VAE MLP/gconv compute dtype (params stay fp32)")
     # model/data flags the reference test.py inherits from its global
     # Options (options/options.py:18-61); honored when building the model
     # (they matter with --allow_random_weights; a restored checkpoint's
@@ -105,7 +108,7 @@ def build_cfg(args):
             gconv_mode=args.gconv_mode,
             mlp_normalization=args.mlp_normalization,
             decoder_cat=args.decoder_cat, use_ae=args.use_AE,
-            train_3d=args.train_3d),
+            train_3d=args.train_3d, compute_dtype=args.compute_dtype),
         data=DataConfig(max_objects=args.max_objects,
                         max_triples=args.max_objects * 3,
                         max_on_rels=args.max_objects,

@@ -68,6 +68,9 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", default=0, type=int,
                    help="train on N synthetic rooms instead of SUNCG json")
     p.add_argument("--max_objects", default=32, type=int)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="MLP/gconv compute dtype (params stay fp32)")
     p.add_argument("--num_data_shards", default=None, type=int,
                    help="data-parallel mesh size (default: all devices)")
     from sln_tpu.utils.cli import (add_reference_compat_flags,
@@ -87,7 +90,7 @@ def config_from_args(args) -> Config:
             gconv_mode=args.gconv_mode,
             mlp_normalization=args.mlp_normalization,
             decoder_cat=args.decoder_cat, use_ae=args.use_AE,
-            train_3d=args.train_3d),
+            train_3d=args.train_3d, compute_dtype=args.compute_dtype),
         data=DataConfig(max_objects=args.max_objects,
                         max_triples=args.max_objects * 3,
                         max_on_rels=args.max_objects,
