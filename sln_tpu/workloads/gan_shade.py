@@ -133,12 +133,22 @@ def make_spade_model(cfg: Config, checkpoint_path: Optional[str] = None):
 
 
 def colorize(model, params, spade_input: np.ndarray, num_z: int,
-             z_chunk: int = 10, seed: int = 0) -> np.ndarray:
-    """One room's 41-channel input -> (num_z, S, S, 3) RGB in [0, 1]."""
+             z_chunk: int = 10, seed: int = 0, mesh=None) -> np.ndarray:
+    """One room's 41-channel input -> (num_z, S, S, 3) RGB in [0, 1].
+
+    mesh: optional jax.sharding.Mesh for multi-chip serving — the z
+    samples are independent, so each chunk shards over the data axis
+    (z_chunk must divide by the data-axis size) while the generator
+    params and the segmentation map replicate.
+    """
     import jax
     import jax.numpy as jnp
 
     seg = jnp.asarray(spade_input)[None]
+    if mesh is not None:
+        from sln_tpu.parallel import mesh as meshlib
+        params = jax.device_put(params, meshlib.replicated(mesh))
+        seg = jax.device_put(seg, meshlib.replicated(mesh))
 
     # params must be jit ARGUMENTS: closing over them bakes ~100M floats
     # into the compile request as constants, which overflows the remote
@@ -155,6 +165,9 @@ def colorize(model, params, spade_input: np.ndarray, num_z: int,
         n = min(z_chunk, num_z - done)
         z = jax.random.normal(jax.random.fold_in(key, done),
                               (z_chunk, model.nz))
+        if mesh is not None:
+            from sln_tpu.parallel import mesh as meshlib
+            z = jax.device_put(z, meshlib.batch_sharding(mesh))
         outs.append(np.asarray(run(params, seg, z))[:n])
         done += n
     rgb = np.concatenate(outs, axis=0)

@@ -271,6 +271,33 @@ def make_refine_step(model, batch_stats, batch: SceneBatch, model_idx,
     return tx, step, snapshot, run_scan
 
 
+def shard_refine_inputs(mesh, batch: SceneBatch, model_idx, target_img,
+                        size_targets, room_row_gt, z0, params):
+    """Place batched refinement inputs for multi-chip SPMD serving.
+
+    Rooms are independent along axis 0, so every per-room array (the
+    SceneBatch, mesh indices, render targets, z0) shards over the mesh's
+    data axis while model params replicate — the per-step parameter
+    update averages per-room gradients, so XLA inserts the data-axis
+    psum exactly like the dp training step.
+
+    Call this BEFORE make_refine_step: the step closes over these arrays
+    and jit hoists closure constants into arguments, so their committed
+    shardings propagate through the whole scanned program. Build the
+    optimizer state from the returned z0/params (`tx.init` follows their
+    placement).
+    """
+    from sln_tpu.parallel import mesh as meshlib
+
+    def shard(x):
+        return jax.device_put(x, meshlib.batch_sharding(mesh))
+
+    return (jax.tree.map(shard, batch), shard(model_idx),
+            shard(target_img), shard(size_targets), shard(room_row_gt),
+            shard(z0),
+            jax.device_put(params, meshlib.replicated(mesh)))
+
+
 # ---------------------------------------------------------------------------
 # full workload
 # ---------------------------------------------------------------------------

@@ -37,3 +37,20 @@ def test_run_gan_shade_writes_images(tmp_path):
     pngs = [f for f in os.listdir(tmp_path) if f.endswith("_color.png")]
     assert len(pngs) == 3
     assert all(os.path.getsize(tmp_path / f) > 0 for f in pngs)
+
+
+def test_colorize_sharded_matches_single_device():
+    """z-sharded multi-chip colorize == single-device (8 CPU devices)."""
+    from sln_tpu.parallel import mesh as meshlib
+    from sln_tpu.spade.generator import SPADEGenerator4
+
+    model = SPADEGenerator4(ngf=8, nz=16, crop_size=64)
+    seg = np.random.default_rng(0).uniform(
+        0, 1, (64, 64, 41)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 41)),
+                        jnp.zeros((1, 16)))["params"]
+    rgb_ref = gan_shade.colorize(model, params, seg, num_z=8, z_chunk=8)
+    mesh = meshlib.make_mesh(num_data=4)
+    rgb_sh = gan_shade.colorize(model, params, seg, num_z=8, z_chunk=8,
+                                mesh=mesh)
+    np.testing.assert_allclose(rgb_sh, rgb_ref, rtol=1e-5, atol=1e-5)
