@@ -61,6 +61,31 @@ class MaskedBatchNorm(nn.Module):
         return (y * scale + bias).astype(x.dtype)
 
 
+class OneHotEmbed(nn.Module):
+    """nn.Embed drop-in whose BACKWARD is a matmul, not a scatter.
+
+    A gather's VJP is a scatter-add, which TPUs handle poorly; with
+    vocabularies this small (<= 33 entries) the lookup is better
+    expressed as one_hot @ table so the cotangent w.r.t. the table is
+    one_hot^T @ g on the MXU. Measured neutral on the current train step
+    (XLA already handled the tiny scatters well there) — kept because it
+    is the scaling-safe formulation. Identical forward values; the
+    parameter is named `embedding` with nn.Embed's shape, so checkpoints
+    and the torch port are unchanged."""
+
+    num_embeddings: int
+    features: int
+    embedding_init: nn.initializers.Initializer = nn.initializers.normal(
+        stddev=1.0)
+
+    @nn.compact
+    def __call__(self, idx: jnp.ndarray) -> jnp.ndarray:
+        table = self.param("embedding", self.embedding_init,
+                           (self.num_embeddings, self.features))
+        oh = jax.nn.one_hot(idx, self.num_embeddings, dtype=table.dtype)
+        return oh @ table
+
+
 class MLP(nn.Module):
     """Reference `make_mlp` equivalent (models/graph.py:10-27).
 

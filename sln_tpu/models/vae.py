@@ -18,10 +18,10 @@ import jax.numpy as jnp
 from sln_tpu.config import ModelConfig
 from sln_tpu.data.batch import SceneBatch
 from sln_tpu.models.graph import GraphTripleConvNet
-from sln_tpu.models.layers import MLP, kaiming_normal
+from sln_tpu.models.layers import MLP, OneHotEmbed, kaiming_normal
 
-# torch nn.Embedding default init is N(0, 1)
-embed_init = nn.initializers.normal(stddev=1.0)
+# Embedding lookups use OneHotEmbed (torch nn.Embedding N(0,1) init, but
+# the backward is a matmul instead of a TPU-hostile scatter — layers.py).
 
 
 def _flat(x: jnp.ndarray) -> jnp.ndarray:
@@ -37,24 +37,22 @@ class Sg2ScVAE(nn.Module):
         dt = jnp.dtype(c.compute_dtype)
         self._dt = dt
         # Encoder embeddings (reference: Sg2ScVAE_model.py:44-57)
-        self.obj_embeddings_ec = nn.Embed(c.num_objs + 1, c.obj_embedding_dim,
-                                          embedding_init=embed_init)
-        self.pred_embeddings_ec = nn.Embed(c.num_preds, 2 * e,
-                                           embedding_init=embed_init)
-        self.obj_embeddings_dc = nn.Embed(c.num_objs + 1, c.obj_embedding_dim,
-                                          embedding_init=embed_init)
+        self.obj_embeddings_ec = OneHotEmbed(c.num_objs + 1,
+                                             c.obj_embedding_dim)
+        self.pred_embeddings_ec = OneHotEmbed(c.num_preds, 2 * e)
+        self.obj_embeddings_dc = OneHotEmbed(c.num_objs + 1,
+                                             c.obj_embedding_dim)
         dc_pred_dim = 2 * e if c.decoder_cat else e
-        self.pred_embeddings_dc = nn.Embed(c.num_preds, dc_pred_dim,
-                                           embedding_init=embed_init)
+        self.pred_embeddings_dc = OneHotEmbed(c.num_preds, dc_pred_dim)
         if c.use_attr:
-            self.attr_embedding_ec = nn.Embed(c.num_attrs, c.attr_embedding_dim,
-                                              embedding_init=embed_init)
-            self.attr_embedding_dc = nn.Embed(c.num_attrs, c.attr_embedding_dim,
-                                              embedding_init=embed_init)
+            self.attr_embedding_ec = OneHotEmbed(c.num_attrs,
+                                                 c.attr_embedding_dim)
+            self.attr_embedding_dc = OneHotEmbed(c.num_attrs,
+                                                 c.attr_embedding_dim)
         self.box_embeddings = nn.Dense(c.box_embedding_dim,
                                        kernel_init=kaiming_normal)
-        self.angle_embeddings = nn.Embed(c.num_angles, c.angle_embedding_dim,
-                                         embedding_init=embed_init)
+        self.angle_embeddings = OneHotEmbed(c.num_angles,
+                                            c.angle_embedding_dim)
 
         # Posterior heads (reference: Sg2ScVAE_model.py:59-66)
         bn = c.mlp_normalization
