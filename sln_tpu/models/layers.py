@@ -83,7 +83,10 @@ class OneHotEmbed(nn.Module):
         table = self.param("embedding", self.embedding_init,
                            (self.num_embeddings, self.features))
         oh = jax.nn.one_hot(idx, self.num_embeddings, dtype=table.dtype)
-        return oh @ table
+        # HIGHEST precision: a default-precision matmul would round the
+        # table through bf16 on TPU, where the gather it replaces was
+        # bit-exact; at these vocab sizes the fp32 pass costs nothing
+        return jnp.matmul(oh, table, precision=jax.lax.Precision.HIGHEST)
 
 
 class MLP(nn.Module):

@@ -138,17 +138,21 @@ def colorize(model, params, spade_input: np.ndarray, num_z: int,
 
     mesh: optional jax.sharding.Mesh for multi-chip serving — the z
     samples are independent, so each chunk shards over the data axis
-    (z_chunk must divide by the data-axis size) while the generator
-    params and the segmentation map replicate.
+    (z_chunk is rounded up to a multiple of the data-axis size) while
+    the generator params and the segmentation map replicate.
     """
     import jax
     import jax.numpy as jnp
 
     seg = jnp.asarray(spade_input)[None]
+    z_sharding = None
     if mesh is not None:
         from sln_tpu.parallel import mesh as meshlib
-        params = jax.device_put(params, meshlib.replicated(mesh))
+        params = meshlib.replicate(params, mesh)
         seg = jax.device_put(seg, meshlib.replicated(mesh))
+        z_sharding = meshlib.batch_sharding(mesh)
+        nd = mesh.shape[meshlib.DATA_AXIS]
+        z_chunk = ((z_chunk + nd - 1) // nd) * nd
 
     # params must be jit ARGUMENTS: closing over them bakes ~100M floats
     # into the compile request as constants, which overflows the remote
@@ -165,9 +169,8 @@ def colorize(model, params, spade_input: np.ndarray, num_z: int,
         n = min(z_chunk, num_z - done)
         z = jax.random.normal(jax.random.fold_in(key, done),
                               (z_chunk, model.nz))
-        if mesh is not None:
-            from sln_tpu.parallel import mesh as meshlib
-            z = jax.device_put(z, meshlib.batch_sharding(mesh))
+        if z_sharding is not None:
+            z = jax.device_put(z, z_sharding)
         outs.append(np.asarray(run(params, seg, z))[:n])
         done += n
     rgb = np.concatenate(outs, axis=0)

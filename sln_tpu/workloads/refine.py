@@ -289,13 +289,34 @@ def shard_refine_inputs(mesh, batch: SceneBatch, model_idx, target_img,
     """
     from sln_tpu.parallel import mesh as meshlib
 
-    def shard(x):
-        return jax.device_put(x, meshlib.batch_sharding(mesh))
+    sharded = meshlib.shard_batch(
+        (batch, model_idx, target_img, size_targets, room_row_gt, z0),
+        mesh)
+    return sharded + (meshlib.replicate(params, mesh),)
 
-    return (jax.tree.map(shard, batch), shard(model_idx),
-            shard(target_img), shard(size_targets), shard(room_row_gt),
-            shard(z0),
-            jax.device_put(params, meshlib.replicated(mesh)))
+
+def prepare_refine_inputs(batch: SceneBatch, bank_host, bank, rcfg):
+    """Batched SceneBatch -> (model_idx, target_img, size_targets,
+    room_row_gt): absolute boxes, per-room mesh retrieval, the GT target
+    render, and frozen size targets — the inputs make_refine_step closes
+    over. Shared by the workload, the benchmark, the multichip dry run,
+    and tests."""
+    room_row = (batch.boxes * batch.room_mask[..., None]).sum(
+        1, keepdims=True)                                   # (B, 1, 6)
+    dims = np.asarray(room_row)[:, 0, 3:]
+    abs0 = np.asarray(batch.boxes) * np.concatenate(
+        [dims, dims], -1)[:, None, :]
+    B = batch.boxes.shape[0]
+    midx = jnp.stack([
+        assets.retrieve_models(batch.objs[b], jnp.asarray(abs0[b]),
+                               bank_host) for b in range(B)])
+    target = jax.vmap(
+        lambda o, bx, a, m, mi: scene_lib.render_layout(
+            o, bx, a, m, mi, bank, rcfg))(
+        batch.objs, batch.boxes, batch.angles.astype(jnp.float32),
+        batch.obj_mask, midx)
+    size_t = jnp.asarray(abs0[:, :, 3:] - abs0[:, :, :3])
+    return midx, target, size_t, room_row
 
 
 # ---------------------------------------------------------------------------

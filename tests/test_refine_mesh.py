@@ -38,20 +38,8 @@ def _setup():
     bank = scene_lib.device_bank(bank_host, 1)
     rcfg = dc.replace(cfg.render, camera=dc.replace(
         cfg.render.camera, image_size=SIZE))
-    room_row = (batch.boxes * batch.room_mask[..., None]).sum(
-        1, keepdims=True)
-    dims = np.asarray(room_row)[:, 0, 3:]
-    abs0 = np.asarray(batch.boxes) * np.concatenate(
-        [dims, dims], -1)[:, None, :]
-    midx = jnp.stack([
-        assets.retrieve_models(batch.objs[b], jnp.asarray(abs0[b]),
-                               bank_host) for b in range(B)])
-    target = jax.vmap(
-        lambda o, bx, a, m, mi: scene_lib.render_layout(
-            o, bx, a, m, mi, bank, rcfg))(
-        batch.objs, batch.boxes, batch.angles.astype(jnp.float32),
-        batch.obj_mask, midx)
-    size_t = jnp.asarray(abs0[:, :, 3:] - abs0[:, :, :3])
+    midx, target, size_t, room_row = refine.prepare_refine_inputs(
+        batch, bank_host, bank, rcfg)
     z0 = jnp.zeros((B, batch.max_objects, cfg.model.latent_dim))
     return (cfg, model, variables, batch, midx, bank, target, size_t,
             room_row, z0)
