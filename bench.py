@@ -6,6 +6,7 @@
   refine_render_grad_steps_per_sec_batched_8  aggregate serving config
   refine_render_grad_steps_per_sec_256px      strict reference parity size
   spade_imgs_per_sec_256px                    SPADEGenerator4 ngf=64 @256px
+  train_scenes_per_sec                        train step @ batch 256
   eval_scene_graph_acc / eval_l1_pred / ...   quality on the committed
                                               trained checkpoint (ties the
                                               throughput to real metrics)
@@ -163,6 +164,45 @@ def bench_spade(batch: int = 10, steps: int = 10) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# training throughput
+# ---------------------------------------------------------------------------
+def bench_train(batch_size: int = 256, steps: int = 60) -> dict:
+    """Train-step throughput (scenes/s) at the measured sweet-spot batch
+    (larger batches are WORSE per scene: 512 -> ~16k, 1024 -> ~13k).
+    Steps chain through the donated state (data-dependent), and the final
+    loss is fetched, so the timing is tunnel-honest without a scan."""
+    import jax
+    import jax.numpy as jnp
+
+    from sln_tpu.config import default_config
+    from sln_tpu.data.augment import build_graphs
+    from sln_tpu.train import loop as tl
+    from sln_tpu.workloads import common
+
+    cfg = default_config()
+    arrays, size_info = common.load_arrays(4096, cfg, synthetic_seed=0)
+    raw = next(tl.batches_from_arrays(arrays, batch_size,
+                                      np.random.default_rng(0)))
+    raw = tl.RawBatch(*(jnp.asarray(x) for x in raw))
+    batch = build_graphs(jax.random.PRNGKey(0), raw.objs, raw.boxes,
+                         raw.angles, raw.obj_mask, raw.room_ids, size_info,
+                         max_on_rels=cfg.data.max_on_rels)
+    model, state, tx = tl.create_state(cfg, jax.random.PRNGKey(0), batch)
+    step_fn = tl.make_train_step(model, tx, cfg, size_info)
+    state, losses = step_fn(state, raw, jax.random.PRNGKey(5))
+    float(losses["total_loss"])                         # compile + warm
+    rate = 0.0
+    for w in range(2):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, losses = step_fn(state, raw, jax.random.PRNGKey(6 + w))
+        float(losses["total_loss"])
+        rate = max(rate, steps * batch_size / (time.perf_counter() - t0))
+    return {"metric": "train_scenes_per_sec", "value": round(rate, 1),
+            "unit": f"scenes/s (batch {batch_size})", "vs_baseline": None}
+
+
+# ---------------------------------------------------------------------------
 # trained model + real posterior (quality-linked throughput)
 # ---------------------------------------------------------------------------
 def _load_bench_model():
@@ -290,6 +330,8 @@ def _run_only(name: str) -> None:
         _emit(bench_refine(render_size=256, steps=120))
     elif name == "spade_256px":
         _emit(bench_spade())
+    elif name == "train":
+        _emit(bench_train())
     elif name == "quality":
         for rec in bench_quality(_load_bench_model()):
             _emit(rec)
@@ -309,7 +351,7 @@ def _run_only(name: str) -> None:
 # ~260 imgs/s measured clean); the layouts headline runs last (it is
 # insensitive to prior state and the driver parses the final line).
 ORDER = ("spade_256px", "refine_96px", "refine_batched", "refine_256px",
-         "quality", "layouts")
+         "train", "quality", "layouts")
 
 
 def main():
