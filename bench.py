@@ -147,7 +147,12 @@ def bench_spade(batch: int = 10, steps: int = 10) -> dict:
     # request (HTTP 413) at this size
     def scan_gen(p, s, zs):
         def body(acc, z):
-            out = model.apply({"params": p}, s, z)
+            # perturb seg per step: a loop-invariant seg lets XLA hoist
+            # the whole seg-conditioned SPADE stack (mlp_shared/gamma/beta
+            # at every scale) out of the scan — the scan-probe pitfall —
+            # and real colorize serving recomputes those convs per chunk
+            s_step = s + 1e-6 * z[:, :1, None, None]
+            out = model.apply({"params": p}, s_step, z)
             return acc + out.mean(), ()
         acc, _ = jax.lax.scan(body, jnp.zeros(()), zs)
         return acc
@@ -318,10 +323,12 @@ def bench_layouts(setup=None) -> dict:
 
 
 def _run_only(name: str) -> None:
-    """Run one benchmark in this process (invoked in a fresh subprocess
-    per metric: device allocator state left behind by a previous
-    benchmark costs later ones up to 4x — e.g. SPADE measures ~260
-    imgs/s clean but ~68 after the refinement benches)."""
+    """Run one benchmark in this process. With --isolate every metric gets
+    a fresh subprocess; the default full run isolates only the layouts
+    headline, so cross-bench allocator contamination (SPADE measures ~260
+    imgs/s clean but ~68 after the refinement benches) still applies to
+    the non-headline lines unless --isolate is passed — which is why
+    SPADE is ordered first in ORDER."""
     if name == "refine_96px":
         _emit(bench_refine())
     elif name == "refine_batched":

@@ -139,7 +139,12 @@ def colorize(model, params, spade_input: np.ndarray, num_z: int,
     mesh: optional jax.sharding.Mesh for multi-chip serving — the z
     samples are independent, so each chunk shards over the data axis
     (z_chunk is rounded up to a multiple of the data-axis size) while
-    the generator params and the segmentation map replicate.
+    the generator params and the segmentation map replicate. z is drawn
+    per chunk via fold_in(key, chunk_idx); when the rounding actually
+    changes z_chunk, chunk boundaries shift, so sharded serving draws a
+    different (equally valid) z stream than the single-device path —
+    outputs are bitwise equal only when z_chunk is already a multiple of
+    the data-axis size (the configuration the equality test pins).
     """
     import jax
     import jax.numpy as jnp
@@ -165,10 +170,12 @@ def colorize(model, params, spade_input: np.ndarray, num_z: int,
     outs = []
     key = jax.random.PRNGKey(seed)
     done = 0
+    chunk_idx = 0
     while done < num_z:
         n = min(z_chunk, num_z - done)
-        z = jax.random.normal(jax.random.fold_in(key, done),
+        z = jax.random.normal(jax.random.fold_in(key, chunk_idx),
                               (z_chunk, model.nz))
+        chunk_idx += 1
         if z_sharding is not None:
             z = jax.device_put(z, z_sharding)
         outs.append(np.asarray(run(params, seg, z))[:n])
