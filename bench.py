@@ -119,6 +119,68 @@ def bench_refine(num_rooms: int = 1, render_size: int = None,
             "vs_baseline": round(rate / 200.0, 3)}
 
 
+def bench_refine_iou(num_rooms: int = 8, sigma: float = 1.0) -> dict:
+    """Layout-quality effect of the refinement loop: mean rotated-cuboid
+    IoU (pred vs GT, the reference's layout eval currency —
+    testing/test_utils.py:33-40) decoded before vs after the 60-iter
+    reference-hyperparameter loop, starting from a sigma-perturbed
+    GT-encoded z (the eval_refinement_quality protocol). Uses the
+    committed trained checkpoint."""
+    import dataclasses as dc
+    import jax
+    import jax.numpy as jnp
+
+    from sln_tpu.config import DataConfig, TrainConfig, default_config
+    from sln_tpu.data.augment import build_graphs
+    from sln_tpu.models.vae import Sg2ScVAE
+    from sln_tpu.render import assets, scene as scene_lib
+    from sln_tpu.workloads import common, refine
+
+    B = num_rooms
+    cfg = default_config().replace(
+        data=DataConfig(max_objects=16, max_triples=48, max_on_rels=16),
+        train=TrainConfig(output_dir=ARTIFACT_DIR, checkpoint_name="bench"))
+    val_arrays, size_info = common.load_arrays(max(B, 8), cfg,
+                                               synthetic_seed=11)
+    batch = build_graphs(
+        jax.random.PRNGKey(0), jnp.asarray(val_arrays["objs"][:B]),
+        jnp.asarray(val_arrays["boxes"][:B]),
+        jnp.asarray(val_arrays["angles"][:B]),
+        jnp.asarray(val_arrays["obj_mask"][:B]),
+        jnp.asarray(val_arrays["room_ids"][:B]), size_info, max_on_rels=16)
+    model, variables = common.restore_model(cfg, example_batch=batch)
+    bstats = variables.get("batch_stats", {})
+
+    mu, _ = model.apply(variables, batch, False, method=Sg2ScVAE.encode)
+    z0 = mu + sigma * jax.random.normal(jax.random.PRNGKey(13), mu.shape)
+
+    bank_host = assets.build_procedural_bank(cfg.render.mesh_subdiv)
+    bank = scene_lib.device_bank(bank_host, cfg.render.shell_subdiv)
+    rcfg = dc.replace(cfg.render, camera=dc.replace(
+        cfg.render.camera, image_size=cfg.refine.render_size))
+    midx, target, size_t, room_row = refine.prepare_refine_inputs(
+        batch, bank_host, bank, rcfg)
+    tx, _, _, run_scan = refine.make_refine_step(
+        model, bstats, batch, midx, bank, target, size_t, room_row, cfg)
+    opt = tx.init((z0, variables["params"]))
+    state = refine.RefineState(z0, variables["params"], opt,
+                               jnp.zeros((), jnp.int32))
+    keys = jax.random.split(jax.random.PRNGKey(14), cfg.refine.num_iters)
+    iou_before = float(refine.decoded_layout_iou(model, bstats, batch,
+                                                 z0, variables["params"]))
+    state, aux = run_scan(state, keys)
+    iou_after = float(refine.decoded_layout_iou(model, bstats, batch,
+                                                state.z, state.params))
+    loss0 = float(np.asarray(aux["total"])[0])
+    loss1 = float(np.asarray(aux["total"])[-1])
+    return {"metric": "refine_iou_delta",
+            "value": round(iou_after - iou_before, 4),
+            "unit": ("IoU (before %.3f -> after %.3f; render loss "
+                     "%.2f -> %.2f)" % (iou_before, iou_after, loss0,
+                                        loss1)),
+            "vs_baseline": None}
+
+
 # ---------------------------------------------------------------------------
 # SPADE shading: 256px imgs/sec
 # ---------------------------------------------------------------------------
@@ -335,6 +397,10 @@ def _run_only(name: str) -> None:
         _emit(bench_refine(num_rooms=8))
     elif name == "refine_256px":
         _emit(bench_refine(render_size=256, steps=120))
+    elif name == "refine_batched_256px":
+        _emit(bench_refine(num_rooms=8, render_size=256, steps=120))
+    elif name == "refine_iou":
+        _emit(bench_refine_iou())
     elif name == "spade_256px":
         _emit(bench_spade())
     elif name == "train":
@@ -358,7 +424,8 @@ def _run_only(name: str) -> None:
 # ~260 imgs/s measured clean); the layouts headline runs last (it is
 # insensitive to prior state and the driver parses the final line).
 ORDER = ("spade_256px", "refine_96px", "refine_batched", "refine_256px",
-         "train", "quality", "layouts")
+         "refine_batched_256px", "refine_iou", "train", "quality",
+         "layouts")
 
 
 def main():

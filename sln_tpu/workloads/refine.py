@@ -295,6 +295,35 @@ def shard_refine_inputs(mesh, batch: SceneBatch, model_idx, target_img,
     return sharded + (meshlib.replicate(params, mesh),)
 
 
+def masked_layout_iou(boxes_pred, angles_pred, batch: SceneBatch):
+    """Mean rotated-cuboid IoU of a predicted layout vs the batch GT,
+    masked over real non-room objects (the reference's layout eval
+    currency — testing/test_utils.py:33-40 get_iou_cuboid: xz polygon
+    intersection x y-overlap per object)."""
+    from sln_tpu.ops.iou import layout_iou
+
+    room_row = (batch.boxes * batch.room_mask[..., None]).sum(1)  # (B, 6)
+    room_dims = room_row[:, 3:]
+    ious = jax.vmap(layout_iou)(boxes_pred, angles_pred, batch.boxes,
+                                batch.angles.astype(jnp.float32),
+                                room_dims)                        # (B, O)
+    m = (batch.obj_mask & ~batch.room_mask).astype(jnp.float32)
+    return (ious * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
+def decoded_layout_iou(model, batch_stats, batch: SceneBatch, z, params):
+    """Mean rotated-cuboid IoU of the decoded layout vs the batch GT.
+    Angles take the argmax bin like the reference's artifact dumps
+    (test_render_refine.py:369-377)."""
+    from sln_tpu.models.vae import Sg2ScVAE
+
+    variables = {"params": params, "batch_stats": batch_stats}
+    boxes_pred, angle_lp = model.apply(variables, z, batch, False,
+                                       method=Sg2ScVAE.decode)
+    angles_pred = jnp.argmax(angle_lp, -1).astype(jnp.float32)
+    return masked_layout_iou(boxes_pred, angles_pred, batch)
+
+
 def prepare_refine_inputs(batch: SceneBatch, bank_host, bank, rcfg):
     """Batched SceneBatch -> (model_idx, target_img, size_targets,
     room_row_gt): absolute boxes, per-room mesh retrieval, the GT target

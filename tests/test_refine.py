@@ -124,6 +124,36 @@ def test_direct_box_optimization_converges():
     assert err1 < 0.85 * err0, (err0, err1)
 
 
+def test_masked_layout_iou_gt_is_one():
+    """GT layout vs itself must score IoU exactly 1 over the object mask
+    (and be insensitive to padded/room rows, which the mask excludes)."""
+    from sln_tpu.data.augment import build_graphs
+
+    cfg = default_config().replace(
+        data=DataConfig(max_objects=10, max_triples=30, max_on_rels=10))
+    val_arrays, size_info = common.load_arrays(4, cfg, synthetic_seed=5)
+    batch = build_graphs(
+        jax.random.PRNGKey(0), jnp.asarray(val_arrays["objs"]),
+        jnp.asarray(val_arrays["boxes"]), jnp.asarray(val_arrays["angles"]),
+        jnp.asarray(val_arrays["obj_mask"]),
+        jnp.asarray(val_arrays["room_ids"]), size_info, max_on_rels=10)
+    iou = float(refine.masked_layout_iou(
+        batch.boxes, batch.angles.astype(jnp.float32), batch))
+    # cuboid_iou carries a 1e-5 union epsilon, so "exactly 1" lands at
+    # ~0.9999 for unit-scale boxes
+    assert abs(iou - 1.0) < 1e-3, iou
+
+    # boxes are normalized (lo, hi) corners; shrinking each box to half
+    # its extent about its own center leaves it inside the GT box, so
+    # IoU = (V/8) / V = 1/8 exactly for every real object
+    lo, hi = batch.boxes[..., :3], batch.boxes[..., 3:]
+    center, ext = (lo + hi) / 2.0, hi - lo
+    shrunk = jnp.concatenate([center - ext / 4.0, center + ext / 4.0], -1)
+    iou_s = float(refine.masked_layout_iou(
+        shrunk, batch.angles.astype(jnp.float32), batch))
+    assert abs(iou_s - 0.125) < 1e-3, iou_s
+
+
 def test_refine_loop_runs_and_writes_artifacts(tmp_path):
     import dataclasses
     cfg = default_config()

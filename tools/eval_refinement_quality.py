@@ -127,12 +127,19 @@ def main(argv=None):
     state = refine.RefineState(z0, params, opt, jnp.zeros((), jnp.int32))
     keys = jax.random.split(jax.random.PRNGKey(args.seed + 1),
                             args.num_iters)
+    bstats = variables.get("batch_stats", {})
     l1_before = box_l1(z0, params)
+    iou_before = float(refine.decoded_layout_iou(model, bstats, batch,
+                                                 z0, params))
     zdist_before = float(jnp.abs(z0 - z_gt).mean())
     state, aux = run_scan(state, keys)
     l1_after = box_l1(state.z, state.params)
+    iou_after = float(refine.decoded_layout_iou(model, bstats, batch,
+                                                state.z, state.params))
     zdist_after = float(jnp.abs(state.z - z_gt).mean())
     l1_gtz = box_l1(z_gt, params)
+    iou_gtz = float(refine.decoded_layout_iou(model, bstats, batch,
+                                              z_gt, params))
 
     recovered = (l1_before - l1_after) / max(l1_before - l1_gtz, 1e-9)
     print(json.dumps({
@@ -140,6 +147,9 @@ def main(argv=None):
         "box_l1_perturbed": round(l1_before, 5),
         "box_l1_refined": round(l1_after, 5),
         "box_l1_at_z_gt": round(l1_gtz, 5),
+        "iou_perturbed": round(iou_before, 4),
+        "iou_refined": round(iou_after, 4),
+        "iou_at_z_gt": round(iou_gtz, 4),
         "recovered_fraction": round(float(recovered), 4),
         "z_l1_before": round(zdist_before, 5),
         "z_l1_after": round(zdist_after, 5),
