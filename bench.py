@@ -6,6 +6,7 @@
   refine_render_grad_steps_per_sec_batched_8  aggregate serving config
   refine_render_grad_steps_per_sec_256px      strict reference parity size
   spade_imgs_per_sec_256px                    SPADEGenerator4 ngf=64 @256px
+  spade_shading_psnr                          trained shading ckpt quality
   train_scenes_per_sec                        train step @ batch 256
   eval_scene_graph_acc / eval_l1_pred / ...   quality on the committed
                                               trained checkpoint (ties the
@@ -186,11 +187,13 @@ def bench_refine_iou(num_rooms: int = 8, sigma: float = 1.0) -> dict:
 # ---------------------------------------------------------------------------
 def bench_spade(batch: int = 10, steps: int = 10) -> dict:
     """SPADEGenerator4 at full reference size (ngf=64, 256px, z-batches
-    of `batch` like colorize's z_chunk). Tracked metric (no fixed floor,
-    BASELINE.md). The timed region is one scanned device program with a
-    fetched checksum (see bench_layouts for why). The generator is
-    HBM-bandwidth-bound at ~80% of the v5e roofline (bf16 compute only
-    buys 165 -> 192 imgs/s — see SpadeConfig.compute_dtype)."""
+    of `batch` like colorize's z_chunk), loading the committed trained
+    shading checkpoint (artifacts/spade_gan.ckpt) via make_spade_model's
+    default chain. Tracked metric (no fixed floor, BASELINE.md). The
+    timed region is one scanned device program with a fetched checksum
+    (see bench_layouts for why). The generator is HBM-bandwidth-bound at
+    ~80% of the v5e roofline (bf16 compute only buys 165 -> 192 imgs/s —
+    see SpadeConfig.compute_dtype)."""
     import jax
     import jax.numpy as jnp
 
@@ -198,12 +201,10 @@ def bench_spade(batch: int = 10, steps: int = 10) -> dict:
     from sln_tpu.workloads.gan_shade import make_spade_model
 
     cfg = default_config()
-    model, params = make_spade_model(cfg, checkpoint_path=os.path.join(
-        ARTIFACT_DIR, "latest_net_G_AB.pth"))
-    seg = jnp.zeros((batch, cfg.spade.crop_size, cfg.spade.crop_size,
+    model, params = make_spade_model(cfg)
+    seg = jnp.zeros((batch, model.crop_size, model.crop_size,
                      cfg.spade.semantic_nc), jnp.float32)
-    zs = jax.random.normal(jax.random.PRNGKey(0),
-                           (steps, batch, cfg.spade.nz))
+    zs = jax.random.normal(jax.random.PRNGKey(0), (steps, batch, model.nz))
 
     # params as jit args — closing over them overflows the remote-compile
     # request (HTTP 413) at this size
@@ -228,6 +229,65 @@ def bench_spade(batch: int = 10, steps: int = 10) -> dict:
         rate = max(rate, steps * batch / (time.perf_counter() - t0))
     return {"metric": "spade_imgs_per_sec_256px", "value": round(rate, 1),
             "unit": "imgs/s", "vs_baseline": None}
+
+
+def bench_spade_quality(num_rooms: int = 8) -> dict:
+    """Shading quality of the committed SPADE checkpoint: PSNR / L1 of
+    generator output vs the deterministic shading target on freshly
+    rendered rooms the trainer never saw (synthetic_seed=19; the trainer
+    uses seed 0). Ties spade_imgs_per_sec_256px to a real output metric,
+    like every other workload's quality line. Counterpart of the
+    reference's pretrained-weights shading eval
+    (testing/test_SPADE_shade.py:9-14,77-80)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from sln_tpu.config import default_config
+    from sln_tpu.data.augment import build_graphs
+    from sln_tpu.render import assets, scene as scene_lib
+    from sln_tpu.workloads import common, gan_shade
+
+    cfg = default_config()
+    model, params = gan_shade.make_spade_model(cfg)
+    crop = model.crop_size
+    arrays, size_info = common.load_arrays(max(num_rooms, 8), cfg,
+                                           synthetic_seed=19)
+    rcfg = dc.replace(cfg.render, camera=dc.replace(
+        cfg.render.camera, image_size=crop))
+    bank_host = assets.build_procedural_bank(cfg.render.mesh_subdiv)
+    bank = scene_lib.device_bank(bank_host, cfg.render.shell_subdiv)
+    segs = []
+    for i in range(num_rooms):
+        batch = build_graphs(
+            jax.random.PRNGKey(100 + i),
+            jnp.asarray(arrays["objs"][i:i + 1]),
+            jnp.asarray(arrays["boxes"][i:i + 1]),
+            jnp.asarray(arrays["angles"][i:i + 1]),
+            jnp.asarray(arrays["obj_mask"][i:i + 1]),
+            jnp.asarray(arrays["room_ids"][i:i + 1]), size_info,
+            max_on_rels=cfg.data.max_on_rels)
+        ch = np.asarray(gan_shade.render_scene_channels(
+            batch, bank_host, bank, rcfg))
+        segs.append(gan_shade.layout_channels_to_spade_input(ch))
+    segs = jnp.asarray(np.stack(segs))
+    target = gan_shade.shading_target(segs)
+
+    @jax.jit
+    def metrics(p, seg, rgb, z):
+        fake = model.apply({"params": p}, seg, z)
+        l1 = jnp.abs(fake - rgb).mean()
+        mse = jnp.square((fake - rgb) * 0.5).mean()   # on [0, 1] scale
+        return l1, -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+
+    z = jax.random.normal(jax.random.PRNGKey(3), (num_rooms, model.nz))
+    l1, psnr = metrics(params, segs, target, z)
+    l1, psnr = float(l1), float(psnr)
+    return {"metric": "spade_shading_psnr", "value": round(psnr, 2),
+            "unit": "dB vs shading target (L1 %.4f, %d held-out rooms)"
+                    % (l1, num_rooms),
+            "vs_baseline": None}
 
 
 # ---------------------------------------------------------------------------
@@ -403,6 +463,8 @@ def _run_only(name: str) -> None:
         _emit(bench_refine_iou())
     elif name == "spade_256px":
         _emit(bench_spade())
+    elif name == "spade_quality":
+        _emit(bench_spade_quality())
     elif name == "train":
         _emit(bench_train())
     elif name == "quality":
@@ -423,9 +485,9 @@ def _run_only(name: str) -> None:
 # behind by the refine programs costs the big-conv generator ~4x (68 vs
 # ~260 imgs/s measured clean); the layouts headline runs last (it is
 # insensitive to prior state and the driver parses the final line).
-ORDER = ("spade_256px", "refine_96px", "refine_batched", "refine_256px",
-         "refine_batched_256px", "refine_iou", "train", "quality",
-         "layouts")
+ORDER = ("spade_256px", "spade_quality", "refine_96px", "refine_batched",
+         "refine_256px", "refine_batched_256px", "refine_iou", "train",
+         "quality", "layouts")
 
 
 def main():

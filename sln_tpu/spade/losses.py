@@ -101,9 +101,13 @@ class GanState(NamedTuple):
 
 
 def make_gan_train_step(generator, discriminator, g_tx, d_tx,
-                        gan_mode: str = "hinge", lambda_feat: float = 10.0):
+                        gan_mode: str = "hinge", lambda_feat: float = 10.0,
+                        lambda_l1: float = 0.0):
     """Jitted alternating G/D step. Batch: (seg (B,H,W,41), real (B,H,W,3),
-    z (B,nz))."""
+    z (B,nz)). lambda_l1 adds a direct pixel reconstruction term to G —
+    the stand-in for the VGG perceptual loss the reference's SPADE
+    training recipe pairs with feature matching (no pretrained VGG in
+    this stack)."""
 
     def d_forward(d_params, d_spectral, img, seg, train):
         x = jnp.concatenate([seg, img], axis=-1)
@@ -140,6 +144,8 @@ def make_gan_train_step(generator, discriminator, g_tx, d_tx,
             loss = (gan_loss(fake_out, True, False, gan_mode)
                     + lambda_feat * feature_matching_loss(fake_out,
                                                           real_out))
+            if lambda_l1:
+                loss = loss + lambda_l1 * jnp.abs(fake - real).mean()
             return loss
 
         g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)

@@ -42,6 +42,42 @@ def layout_channels_to_spade_input(channels: np.ndarray) -> np.ndarray:
                           axis=0).transpose(1, 2, 0).astype(np.float32)
 
 
+def shading_target(spade_input):
+    """Deterministic shaded-RGB target for the synthetic SPADE shading
+    task: per-class albedo (the ScanNet palette) times a screen-space
+    lambertian shade derived from the depth channel, with a mild
+    distance falloff. Stands in for the SUNCG photoreal renders the
+    reference's pretrained latest_net_G_AB.pth was fit to
+    (testing/test_SPADE_shade.py:9-14) — not redistributable, like the
+    mesh assets — and gives the trainer, bench, and tests one shared
+    measurable target.
+
+    spade_input: (..., H, W, 41) — depth in [-1, 1] + 40 binarized class
+    masks (`layout_channels_to_spade_input` layout). Returns
+    (..., H, W, 3) RGB in [-1, 1]. Pure jnp; jit/vmap-safe.
+    """
+    import jax.numpy as jnp
+
+    from sln_tpu.workloads.plot2d import MAPPED_COLORS
+
+    x = jnp.asarray(spade_input)
+    depth01 = (x[..., 0] + 1.0) * 0.5                     # (..., H, W)
+    masks = x[..., 1:]                                    # (..., H, W, 40)
+    palette = jnp.asarray(MAPPED_COLORS, jnp.float32) / 255.0
+    albedo = masks @ palette                              # (..., H, W, 3)
+    # screen-space normals from depth gradients; the x48 gain maps the
+    # [0,1]-normalized depth range onto visible surface tilt at 256px
+    gy = jnp.gradient(depth01, axis=-2)
+    gx = jnp.gradient(depth01, axis=-1)
+    n = jnp.stack([-gx * 48.0, -gy * 48.0, jnp.ones_like(gx)], -1)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    light = jnp.asarray([1.0, -1.0, 2.0]) / jnp.sqrt(6.0)
+    diffuse = jnp.clip((n * light).sum(-1), 0.0, 1.0)
+    shade = (0.35 + 0.65 * diffuse) * (1.0 - 0.3 * depth01)
+    rgb = jnp.clip(albedo * shade[..., None], 0.0, 1.0) * 2.0 - 1.0
+    return rgb.astype(jnp.float32)
+
+
 def mask_class_from_stem(stem: str) -> str:
     """Mask filename stem -> underscored class name. Artifact names are
     `<room>_pred_<kk>_<class>` (reference semantic_depth_caller.py:46 +
@@ -105,30 +141,71 @@ def render_scene_channels(batch, bank_host, bank, rcfg):
         batch.obj_mask[0], midx, bank, rcfg)
 
 
+def load_native_spade_checkpoint(path: str):
+    """(generator params, train config dict) from a tools/train_spade.py
+    checkpoint (pickle with g_params [+ config]; float16-stored leaves
+    come back float32)."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.float32), payload["g_params"])
+    return params, payload.get("config", {})
+
+
+def default_spade_checkpoint_path() -> str:
+    """The committed trained-weights artifact (repo_root/artifacts)."""
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(root, "artifacts", "spade_gan.ckpt")
+
+
 def make_spade_model(cfg: Config, checkpoint_path: Optional[str] = None):
-    """Generator + params (ported reference checkpoint or random init)."""
+    """Generator + params. Weight sources, in order: an explicit path
+    (.pth -> ported reference checkpoint, anything else -> native
+    train_spade pickle), the committed artifacts/spade_gan.ckpt, a
+    latest_net_G_AB.pth under the output dir
+    (testing/test_SPADE_shade.py:9-14), then random init."""
     import jax
 
     import jax.numpy as jnp
 
     sp = cfg.spade
-    model = SPADEGenerator4(semantic_nc=sp.semantic_nc,
-                            target_nc=sp.target_nc, nz=sp.nz, ngf=sp.ngf,
-                            crop_size=sp.crop_size, n_up=sp.n_up,
-                            dtype=jnp.dtype(sp.compute_dtype))
-    path = checkpoint_path or os.path.join(cfg.train.output_dir,
-                                           "latest_net_G_AB.pth")
-    if os.path.isfile(path):
-        from sln_tpu.spade.port import load_reference_checkpoint
-        params = load_reference_checkpoint(path)
-        print(f"Ported SPADE weights from {path}")
-    else:
-        print(f"WARNING: no SPADE checkpoint at {path}; random init")
-        import jax.numpy as jnp
-        params = model.init(jax.random.PRNGKey(0),
-                            jnp.zeros((1, sp.crop_size, sp.crop_size,
-                                       sp.semantic_nc)),
-                            jnp.zeros((1, sp.nz)))["params"]
+
+    def build(ngf, nz, crop):
+        return SPADEGenerator4(semantic_nc=sp.semantic_nc,
+                               target_nc=sp.target_nc, nz=nz, ngf=ngf,
+                               crop_size=crop, n_up=sp.n_up,
+                               dtype=jnp.dtype(sp.compute_dtype))
+
+    model = build(sp.ngf, sp.nz, sp.crop_size)
+    candidates = [checkpoint_path] if checkpoint_path else [
+        default_spade_checkpoint_path(),
+        os.path.join(cfg.train.output_dir, "latest_net_G_AB.pth")]
+    for path in candidates:
+        if not os.path.isfile(path):
+            continue
+        if path.endswith(".pth"):
+            from sln_tpu.spade.port import load_reference_checkpoint
+            params = load_reference_checkpoint(path)
+            print(f"Ported SPADE weights from {path}")
+        else:
+            params, ck = load_native_spade_checkpoint(path)
+            # the checkpoint's trained dims win over cfg.spade defaults
+            # (a ckpt trained at --ngf 32 must not meet an ngf=64 model)
+            model = build(ck.get("ngf", sp.ngf), ck.get("nz", sp.nz),
+                          ck.get("crop", sp.crop_size))
+            print(f"Loaded SPADE weights from {path}")
+        return model, params
+    print(f"WARNING: no SPADE checkpoint at {candidates}; random init")
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, sp.crop_size, sp.crop_size,
+                                   sp.semantic_nc)),
+                        jnp.zeros((1, sp.nz)))["params"]
     return model, params
 
 
@@ -238,7 +315,6 @@ def run_gan_shade(vae_model, vae_variables, val_arrays: Dict[str,
         if semantic_dir is not None:
             spade_in = spade_input_from_files(semantic_dir,
                                               room=str(room_id))
-            spade_in = resize_spade_input(spade_in, cfg.spade.crop_size)
         else:
             batch = build_graphs(
                 jax.random.PRNGKey(0),
@@ -250,6 +326,10 @@ def run_gan_shade(vae_model, vae_variables, val_arrays: Dict[str,
                 size_info, max_on_rels=cfg.data.max_on_rels)
             channels = render_scene_channels(batch, bank_host, bank, rcfg)
             spade_in = layout_channels_to_spade_input(np.asarray(channels))
+        # a loaded checkpoint's trained crop wins over cfg.spade.crop_size
+        # (make_spade_model) — meet it, like the reference resizes its
+        # 1024px Blender reads to the generator's 256 (:74)
+        spade_in = resize_spade_input(spade_in, model.crop_size)
         rgb = colorize(model, params, spade_in, num_z)
         for k in range(num_z):
             plt.imsave(os.path.join(

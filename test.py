@@ -38,6 +38,13 @@ def parse_args(argv=None):
     p.add_argument("--heatmap_iters", default=20000, type=int)
     p.add_argument("--num_z", default=50, type=int,
                    help="z samples for gan_shade (reference test.py:94)")
+    p.add_argument("--spade_checkpoint", default="", type=str,
+                   help="explicit SPADE generator weights for --gan_shade "
+                        "(.pth = ported reference checkpoint, else a "
+                        "tools/train_spade.py pickle); default: the "
+                        "committed artifacts/spade_gan.ckpt, then "
+                        "<output_dir>/latest_net_G_AB.pth "
+                        "(test_SPADE_shade.py:9-14), then random init")
     p.add_argument("--room_ids", default="", type=str,
                    help="comma-separated room ids for --fine_tune")
     p.add_argument("--save_semantic_gifs", action="store_true",
@@ -281,6 +288,8 @@ def main(argv=None):
                     args.blender_script or None)
         gan_shade.run_gan_shade(model, variables, va, si, cfg,
                                 num_z=args.num_z, save_dir=out_dir,
+                                spade_checkpoint=(args.spade_checkpoint
+                                                  or None),
                                 semantic_dir=semantic_dir)
         return
 

@@ -36,7 +36,6 @@ def synthetic_pairs(num_rooms: int, crop: int, seed: int = 0):
     from sln_tpu.data.augment import build_graphs
     from sln_tpu.render import assets, scene as scene_lib
     from sln_tpu.workloads import common, gan_shade
-    from sln_tpu.workloads.plot2d import MAPPED_COLORS
 
     cfg = default_config()
     arrays, size_info = common.load_arrays(num_rooms, cfg,
@@ -45,9 +44,8 @@ def synthetic_pairs(num_rooms: int, crop: int, seed: int = 0):
         cfg.render.camera, image_size=crop))
     bank_host = assets.build_procedural_bank(cfg.render.mesh_subdiv)
     bank = scene_lib.device_bank(bank_host, cfg.render.shell_subdiv)
-    colors = np.asarray(MAPPED_COLORS, np.float32) / 255.0     # (40, 3)
 
-    segs, rgbs = [], []
+    segs = []
     for i in range(num_rooms):
         batch = build_graphs(
             jax.random.PRNGKey(i),
@@ -59,15 +57,11 @@ def synthetic_pairs(num_rooms: int, crop: int, seed: int = 0):
             max_on_rels=cfg.data.max_on_rels)
         ch = np.asarray(gan_shade.render_scene_channels(
             batch, bank_host, bank, rcfg))
-        seg = gan_shade.layout_channels_to_spade_input(ch)
-        # deterministic shading target: class color x depth-based shade
-        masks = seg[..., 1:]                                   # (H, W, 40)
-        rgb = masks @ colors                                   # (H, W, 3)
-        shade = 1.0 - 0.35 * (seg[..., 0] * 0.5 + 0.5)
-        rgb = np.clip(rgb * shade[..., None], 0, 1) * 2.0 - 1.0
-        segs.append(seg)
-        rgbs.append(rgb.astype(np.float32))
-    return np.stack(segs), np.stack(rgbs)
+        segs.append(gan_shade.layout_channels_to_spade_input(ch))
+    segs = np.stack(segs)
+    # one shared target across trainer / bench / tests (gan_shade.py)
+    rgbs = np.asarray(gan_shade.shading_target(segs), np.float32)
+    return segs, rgbs
 
 
 def load_pairs_dir(path: str):
@@ -93,7 +87,25 @@ def main(argv=None):
     p.add_argument("--lr_g", type=float, default=1e-4)
     p.add_argument("--lr_d", type=float, default=4e-4)
     p.add_argument("--print_every", type=int, default=20)
+    p.add_argument("--eval_every", type=int, default=200,
+                   help="report held-out L1/PSNR every N steps")
+    p.add_argument("--val_frac", type=float, default=0.125,
+                   help="fraction of pairs held out for eval")
+    p.add_argument("--lambda_l1", type=float, default=50.0,
+                   help="direct pixel L1 weight on G (the stand-in for "
+                        "the VGG perceptual term SPADE recipes pair with "
+                        "feature matching; 0 disables)")
     p.add_argument("--output_dir", default="./checkpoints_spade")
+    p.add_argument("--artifact", default="",
+                   help="also write a serving-only artifact here "
+                        "(g_params in float16 + config; what "
+                        "gan_shade.make_spade_model loads)")
+    p.add_argument("--save_every", type=int, default=0,
+                   help="checkpoint every N steps (0: only at the end)")
+    p.add_argument("--resume", default="",
+                   help="warm-start G/D (+E) params from a previous "
+                        "spade_gan.ckpt (optimizer state restarts fresh "
+                        "— the checkpoint stores params only)")
     p.add_argument("--mmd", action="store_true",
                    help="MMD training mode: MMD discriminators "
                         "(decide + z_out heads) + ConvEncoderPSPSEMMD "
@@ -121,7 +133,10 @@ def main(argv=None):
         n = args.synthetic or 32
         print(f"| rendering {n} synthetic (seg, rgb) pairs at {args.crop}px")
         segs, rgbs = synthetic_pairs(n, args.crop)
-    print(f"| dataset: {segs.shape} -> {rgbs.shape}")
+    n_val = max(1, int(len(segs) * args.val_frac)) if args.eval_every else 0
+    val_segs, val_rgbs = segs[:n_val], rgbs[:n_val]
+    segs, rgbs = segs[n_val:], rgbs[n_val:]
+    print(f"| dataset: {segs.shape} -> {rgbs.shape} (+{n_val} held out)")
 
     gen = SPADEGenerator4(ngf=args.ngf, nz=args.nz, crop_size=args.crop)
     disc = MultiscaleDiscriminator(ndf=args.ndf, n_layers=3, num_d=2,
@@ -160,30 +175,97 @@ def main(argv=None):
             g_opt=g_tx.init(g_vars["params"]),
             d_opt=d_tx.init(d_vars["params"]),
             step=jnp.zeros((), jnp.int32))
-        step = make_gan_train_step(gen, disc, g_tx, d_tx)
+        step = make_gan_train_step(gen, disc, g_tx, d_tx,
+                                   lambda_l1=args.lambda_l1)
+
+    start_step = 0
+    if args.resume:
+        with open(args.resume, "rb") as f:
+            prev = pickle.load(f)
+
+        def cast(tree):
+            return jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), tree)
+
+        state = state._replace(g_params=cast(prev["g_params"]))
+        if "d_params" in prev:
+            state = state._replace(d_params=cast(prev["d_params"]))
+        if args.mmd and "e_params" in prev:
+            state = state._replace(e_params=cast(prev["e_params"]))
+        start_step = int(prev.get("config", {}).get("trained_steps", 0))
+        print(f"| warm-started params from {args.resume} "
+              f"(previously trained {start_step} steps)", flush=True)
+
+    @jax.jit
+    def val_metrics(g_params, seg, rgb, z):
+        """Held-out L1 (on [-1,1]) and PSNR (on [0,1])."""
+        fake = gen.apply({"params": g_params}, seg, z)
+        l1 = jnp.abs(fake - rgb).mean()
+        mse = jnp.square((fake - rgb) * 0.5).mean()
+        return l1, -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+
+    def run_eval(g_params):
+        """Chunked over the val set (val batches can exceed train B)."""
+        l1s, psnrs = [], []
+        for s in range(0, n_val, B):
+            seg = jnp.asarray(val_segs[s:s + B])
+            z = jax.random.normal(jax.random.PRNGKey(7 + s),
+                                  (seg.shape[0], args.nz))
+            l1, psnr = val_metrics(g_params, seg,
+                                   jnp.asarray(val_rgbs[s:s + B]), z)
+            l1s.append(float(l1) * seg.shape[0])
+            psnrs.append(float(psnr) * seg.shape[0])
+        return sum(l1s) / n_val, sum(psnrs) / n_val
+
+    def save(state, extra):
+        os.makedirs(args.output_dir, exist_ok=True)
+        out = os.path.join(args.output_dir, "spade_gan.ckpt")
+        config = {**vars(args), **extra}
+        payload = {
+            "g_params": jax.tree.map(np.asarray, state.g_params),
+            "d_params": jax.tree.map(np.asarray, state.d_params),
+            "config": config}
+        if args.mmd:
+            payload["e_params"] = jax.tree.map(np.asarray, state.e_params)
+        with open(out, "wb") as f:
+            pickle.dump(payload, f)
+        print("saved", out, flush=True)
+        if args.artifact:
+            # serving-only: g_params in fp16 (halves the committed blob;
+            # the loader casts back to fp32)
+            slim = {"g_params": jax.tree.map(
+                        lambda a: np.asarray(a, np.float16)
+                        if np.asarray(a).dtype == np.float32
+                        else np.asarray(a), state.g_params),
+                    "config": config}
+            with open(args.artifact, "wb") as f:
+                pickle.dump(slim, f)
+            print("saved", args.artifact, flush=True)
 
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(2)
+    last_eval = {}
+    import time
+    t0 = time.perf_counter()
     for t in range(1, args.steps + 1):
         idx = rng.integers(0, len(segs), B)
         z = jax.random.normal(jax.random.fold_in(key, t), (B, args.nz))
         state, losses = step(state, jnp.asarray(segs[idx]),
                              jnp.asarray(rgbs[idx]), z)
         if t % args.print_every == 0:
-            print(f"step {t}: " + " ".join(
-                f"{k[0]}={float(v):.4f}" for k, v in sorted(losses.items())))
+            rate = t * B / (time.perf_counter() - t0)
+            print(f"step {t} ({rate:.1f} img/s): " + " ".join(
+                f"{k[0]}={float(v):.4f}" for k, v in sorted(losses.items())),
+                flush=True)
+        if args.eval_every and (t % args.eval_every == 0 or t == args.steps):
+            l1, psnr = run_eval(state.g_params)
+            last_eval = {"val_l1": l1, "val_psnr": psnr,
+                         "trained_steps": start_step + t}
+            print(f"step {t}: val_l1={l1:.4f} val_psnr={psnr:.2f}dB",
+                  flush=True)
+        if args.save_every and t % args.save_every == 0:
+            save(state, last_eval)
 
-    os.makedirs(args.output_dir, exist_ok=True)
-    out = os.path.join(args.output_dir, "spade_gan.ckpt")
-    payload = {
-        "g_params": jax.tree.map(np.asarray, state.g_params),
-        "d_params": jax.tree.map(np.asarray, state.d_params),
-        "config": vars(args)}
-    if args.mmd:
-        payload["e_params"] = jax.tree.map(np.asarray, state.e_params)
-    with open(out, "wb") as f:
-        pickle.dump(payload, f)
-    print("saved", out)
+    save(state, last_eval)
 
 
 if __name__ == "__main__":
