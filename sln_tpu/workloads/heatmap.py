@@ -151,10 +151,13 @@ def produce_heatmap(model, variables, mean, cov, test_dir: str,
     boxes_np = np.concatenate(all_boxes, axis=0)      # (num_iter, n, 6)
 
     objs_arr, _, attrs_arr = sg_from_words(list(objects), list(relations))
-    boxes_list = [[row for row in trial] for trial in boxes_np]
+    # the reference pickles a list-of-lists of (6,) arrays
+    # (test_heatmap.py:62-64); the (num_iter, n, 6) ndarray is
+    # indexing-compatible (heat[2][k][i] -> (6,) array) without
+    # materializing O(num_iter*n) Python objects on the host
     path = os.path.join(heat_dir, str(room_idx).zfill(4) + "_heat.pkl")
     with open(path, "wb") as f:
-        pickle.dump([objs_arr, attrs_arr, boxes_list, []], f)
+        pickle.dump([objs_arr, attrs_arr, boxes_np, []], f)
     return path
 
 
