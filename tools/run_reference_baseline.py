@@ -137,7 +137,7 @@ def stub_shapely() -> None:
 
 
 def reference_args(stage: str, iters: int, batch_size: int,
-                   num_workers: int = 2) -> GuardedArgs:
+                   num_workers: int = 2, resume: bool = False) -> GuardedArgs:
     sys.argv = [
         "train.py",
         "--loader_num_workers", str(num_workers),
@@ -147,8 +147,15 @@ def reference_args(stage: str, iters: int, batch_size: int,
         "--test_dir", os.path.join(stage, "layouts_out"),
         "--num_iterations", str(iters),
         "--batch_size", str(batch_size),
-        "--checkpoint_every", str(min(1000, iters)),
+        # frequent checkpoints + 1k-iter snapshots: an 8h CPU run must
+        # survive crashes (restore_from_checkpoint reads
+        # '<name>_with_model.pt', train.py:17-26) and leave budget-matched
+        # snapshots for eval even if it never reaches --iters
+        "--checkpoint_every", str(min(200, iters)),
+        "--snapshot_every", str(min(1000, iters)),
     ]
+    if resume:
+        sys.argv += ["--restore_from_checkpoint", "1"]  # bool_flag: 0/1
     from options.options import Options
 
     opt = Options().parse()
@@ -212,6 +219,9 @@ def main(argv=None):
                     help="DataLoader workers (this image has 1 core; the "
                          "reference default of 8 just contends)")
     ap.add_argument("--torch_threads", type=int, default=0)
+    ap.add_argument("--resume", action="store_true",
+                    help="restore from the latest checkpoint (crash "
+                         "recovery for the multi-hour CPU run)")
     args = ap.parse_args(argv)
 
     stage = os.path.abspath(args.stage)
@@ -228,14 +238,33 @@ def main(argv=None):
     sys.path.insert(0, REFERENCE)
     os.chdir(stage)
     ref_args = reference_args(stage, args.iters, args.batch_size,
-                              args.num_workers)
+                              args.num_workers, resume=args.resume)
 
     import train as ref_train            # /root/reference/train.py
     from testing import test_VAE
     from testing import test_acc_mean_std
 
+    def bridge_checkpoint_names():
+        # the reference trainer writes 'latest_<name>_with_model.pt'
+        # (train.py:98) but both its restore path (train.py:18) and its
+        # evals (test_VAE.py:21, test_acc_mean_std.py:16) read
+        # '<name>_with_model.pt'
+        saved = os.path.join(
+            ref_args.output_dir,
+            f"latest_{ref_args.checkpoint_name}_with_model.pt")
+        expected = os.path.join(
+            ref_args.output_dir,
+            f"{ref_args.checkpoint_name}_with_model.pt")
+        if os.path.isfile(saved) and (
+                not os.path.isfile(expected)
+                or os.path.getmtime(saved) > os.path.getmtime(expected)):
+            shutil.copyfile(saved, expected)
+        return expected
+
     train_seconds = None
     if not args.skip_train:
+        if args.resume:
+            bridge_checkpoint_names()
         print(f"=== training reference for {args.iters} iters "
               f"(batch {args.batch_size}, CPU) ===", flush=True)
         t0 = time.perf_counter()
@@ -245,17 +274,7 @@ def main(argv=None):
               f"({args.iters * args.batch_size / train_seconds:.1f} "
               f"scenes/s) ===", flush=True)
 
-    # the reference trainer writes 'latest_<name>_with_model.pt'
-    # (train.py:98) but its evals read '<name>_with_model.pt'
-    # (test_VAE.py:21, test_acc_mean_std.py:16) — bridge the naming gap
-    saved = os.path.join(ref_args.output_dir,
-                         f"latest_{ref_args.checkpoint_name}_with_model.pt")
-    expected = os.path.join(ref_args.output_dir,
-                            f"{ref_args.checkpoint_name}_with_model.pt")
-    if os.path.isfile(saved) and (
-            not os.path.isfile(expected)
-            or os.path.getmtime(saved) > os.path.getmtime(expected)):
-        shutil.copyfile(saved, expected)
+    expected = bridge_checkpoint_names()
 
     if args.skip_eval:
         return
