@@ -127,3 +127,46 @@ def test_mmd_gan_train_step_runs():
     assert all(np.isfinite(v) for l in losses for v in l.values())
     assert {"d_loss", "g_loss", "e_loss"} <= set(losses[0])
     assert losses[0]["e_loss"] != losses[-1]["e_loss"]
+
+
+def test_train_spade_cli_roundtrip_and_resume(tmp_path):
+    """tools/train_spade.py end-to-end at toy size: trains from a pairs
+    dir, writes the full checkpoint + fp16 serving artifact with val
+    metrics, and --resume warm-starts from the artifact (trained_steps
+    accumulates; generator params actually carry over)."""
+    import pickle
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.train_spade import main
+
+    rng = np.random.default_rng(0)
+    pairs = tmp_path / "pairs"
+    pairs.mkdir()
+    for i in range(4):
+        np.savez(pairs / f"{i}.npz",
+                 seg=rng.uniform(0, 1, (32, 32, 41)).astype(np.float32),
+                 rgb=rng.uniform(-1, 1, (32, 32, 3)).astype(np.float32))
+
+    out = tmp_path / "ckpt"
+    art = tmp_path / "art.ckpt"
+    base = ["--pairs_dir", str(pairs), "--crop", "32", "--ngf", "4",
+            "--ndf", "4", "--nz", "8", "--batch_size", "2", "--steps", "2",
+            "--eval_every", "1", "--val_frac", "0.25",
+            "--output_dir", str(out), "--artifact", str(art)]
+    main(base)
+
+    with open(art, "rb") as f:
+        slim = pickle.load(f)
+    assert "d_params" not in slim                   # serving-only artifact
+    leaves = jax.tree.leaves(slim["g_params"])
+    assert all(l.dtype == np.float16 for l in leaves
+               if np.issubdtype(l.dtype, np.floating))
+    cfg = slim["config"]
+    assert cfg["trained_steps"] == 2
+    assert np.isfinite(cfg["val_l1"]) and np.isfinite(cfg["val_psnr"])
+
+    main(base + ["--resume", str(art)])
+    with open(art, "rb") as f:
+        slim2 = pickle.load(f)
+    assert slim2["config"]["trained_steps"] == 4    # 2 warm + 2 new
