@@ -203,15 +203,19 @@ def main(argv=None):
         mse = jnp.square((fake - rgb) * 0.5).mean()
         return l1, -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
 
+    # device-resident val set (same host-buffer-leak avoidance as below)
+    val_segs_d = jnp.asarray(val_segs) if n_val else None
+    val_rgbs_d = jnp.asarray(val_rgbs) if n_val else None
+
     def run_eval(g_params):
         """Chunked over the val set (val batches can exceed train B)."""
         l1s, psnrs = [], []
         for s in range(0, n_val, B):
-            seg = jnp.asarray(val_segs[s:s + B])
+            seg = val_segs_d[s:s + B]
             z = jax.random.normal(jax.random.PRNGKey(7 + s),
                                   (seg.shape[0], args.nz))
             l1, psnr = val_metrics(g_params, seg,
-                                   jnp.asarray(val_rgbs[s:s + B]), z)
+                                   val_rgbs_d[s:s + B], z)
             l1s.append(float(l1) * seg.shape[0])
             psnrs.append(float(psnr) * seg.shape[0])
         return sum(l1s) / n_val, sum(psnrs) / n_val
@@ -241,16 +245,31 @@ def main(argv=None):
                 pickle.dump(slim, f)
             print("saved", args.artifact, flush=True)
 
+    # Stage the whole dataset on device ONCE and gather batches on-device.
+    # Re-uploading each (B, 256, 256, 41) batch from the host leaks ~96
+    # MB/step through the axon tunnel's dispatch buffers (the r3 trainer
+    # was OOM-killed at ~130 GB host RSS after ~1350 steps); with
+    # device-resident data the per-step transfer is just (B,) indices + z.
+    segs_d = jnp.asarray(segs)
+    rgbs_d = jnp.asarray(rgbs)
+
+    @jax.jit
+    def gather_batch(all_segs, all_rgbs, idx):
+        # data as jit ARGUMENTS: closing over them would bake ~1 GB of
+        # constants into the program (HTTP 413 over the tunnel, CLAUDE.md)
+        return (jnp.take(all_segs, idx, axis=0),
+                jnp.take(all_rgbs, idx, axis=0))
+
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(2)
     last_eval = {}
     import time
     t0 = time.perf_counter()
     for t in range(1, args.steps + 1):
-        idx = rng.integers(0, len(segs), B)
+        idx = jnp.asarray(rng.integers(0, len(segs), B))
         z = jax.random.normal(jax.random.fold_in(key, t), (B, args.nz))
-        state, losses = step(state, jnp.asarray(segs[idx]),
-                             jnp.asarray(rgbs[idx]), z)
+        seg_b, rgb_b = gather_batch(segs_d, rgbs_d, idx)
+        state, losses = step(state, seg_b, rgb_b, z)
         if t % args.print_every == 0:
             rate = t * B / (time.perf_counter() - t0)
             print(f"step {t} ({rate:.1f} img/s): " + " ".join(
