@@ -43,6 +43,10 @@ def main():
 
     if "--cpu" in sys.argv:    # smoke-test the harness itself off-chip
         jax.config.update("jax_platforms", "cpu")
+    # the pure-JAX reference path must not silently run its matmul-shaped
+    # ops in bf16 on the MXU, or the comparison attributes its ~1e-2
+    # rounding to the Pallas kernels (CLAUDE.md parity gotcha)
+    jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
 
     from sln_tpu.render import rasterizer_pallas as rp
