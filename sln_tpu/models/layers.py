@@ -46,8 +46,17 @@ class MaskedBatchNorm(nn.Module):
             m = mask.astype(jnp.float32)[:, None]
             n = jnp.maximum(m.sum(), 1.0)
             xf = x.astype(jnp.float32)
-            mean = (xf * m).sum(axis=0) / n
-            var = (jnp.square(xf - mean) * m).sum(axis=0) / n
+            # one-pass sum/sumsq (vs mean then E[(x-mean)^2]) so XLA emits a
+            # single fused read of x: the two-pass form stops fitting the
+            # fused-pipeline VMEM window at large B and re-streams the
+            # (B*T, C) activation from HBM (measured 1.4x/scene fwd
+            # slowdown at batch 1024, tools/profile_batch_scaling.py).
+            # fp32 accumulation; post-Dense activations are O(1), so the
+            # E[x^2]-mean^2 cancellation is benign (clamped at 0).
+            s1 = (xf * m).sum(axis=0)
+            s2 = (jnp.square(xf) * m).sum(axis=0)
+            mean = s1 / n
+            var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
                 ra_mean.value = ((1.0 - self.momentum) * ra_mean.value

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--batches", default="256,512,1024")
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--dtype", default="",
+                    help="override ModelConfig.compute_dtype "
+                         "(e.g. bfloat16) for the sweep")
     args = ap.parse_args()
 
     import jax
@@ -44,6 +47,10 @@ def main():
     from sln_tpu.workloads import common
 
     cfg = default_config()
+    if args.dtype:
+        import dataclasses as dc
+        cfg = cfg.replace(model=dc.replace(cfg.model,
+                                           compute_dtype=args.dtype))
     steps = args.steps
     batches = [int(b) for b in args.batches.split(",")]
     arrays, size_info = common.load_arrays(max(batches), cfg,
