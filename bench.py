@@ -7,7 +7,8 @@
   refine_render_grad_steps_per_sec_256px      strict reference parity size
   spade_imgs_per_sec_256px                    SPADEGenerator4 ngf=64 @256px
   spade_shading_psnr                          trained shading ckpt quality
-  train_scenes_per_sec                        train step @ batch 256
+  train_scenes_per_sec                        train step @ batch 256 fp32
+  train_scenes_per_sec_bf16                   same, bfloat16 compute
   eval_scene_graph_acc / eval_l1_pred / ...   quality on the committed
                                               trained checkpoint (ties the
                                               throughput to real metrics)
@@ -293,11 +294,16 @@ def bench_spade_quality(num_rooms: int = 8) -> dict:
 # ---------------------------------------------------------------------------
 # training throughput
 # ---------------------------------------------------------------------------
-def bench_train(batch_size: int = 256, steps: int = 60) -> dict:
-    """Train-step throughput (scenes/s) at the measured sweet-spot batch
-    (larger batches are WORSE per scene: 512 -> ~16k, 1024 -> ~13k).
-    Steps chain through the donated state (data-dependent), and the final
-    loss is fetched, so the timing is tunnel-honest without a scan."""
+def bench_train(batch_size: int = 256, steps: int = 60,
+                compute_dtype: str = "") -> dict:
+    """Train-step throughput (scenes/s) at the measured per-chip
+    sweet-spot batch (larger per-chip batches are worse per scene — the
+    fwd/bwd loses fused-pipeline efficiency past ~256 scenes/chip; see
+    CLAUDE.md perf notes + tools/profile_batch_scaling.py). Steps chain
+    through the donated state (data-dependent), and the final loss is
+    fetched, so the timing is tunnel-honest without a scan.
+    compute_dtype='bfloat16' benches the reduced-precision option
+    (params/BN stats stay fp32)."""
     import jax
     import jax.numpy as jnp
 
@@ -307,6 +313,10 @@ def bench_train(batch_size: int = 256, steps: int = 60) -> dict:
     from sln_tpu.workloads import common
 
     cfg = default_config()
+    if compute_dtype:
+        import dataclasses as dc
+        cfg = cfg.replace(model=dc.replace(cfg.model,
+                                           compute_dtype=compute_dtype))
     arrays, size_info = common.load_arrays(4096, cfg, synthetic_seed=0)
     raw = next(tl.batches_from_arrays(arrays, batch_size,
                                       np.random.default_rng(0)))
@@ -325,8 +335,12 @@ def bench_train(batch_size: int = 256, steps: int = 60) -> dict:
             state, losses = step_fn(state, raw, jax.random.PRNGKey(6 + w))
         float(losses["total_loss"])
         rate = max(rate, steps * batch_size / (time.perf_counter() - t0))
-    return {"metric": "train_scenes_per_sec", "value": round(rate, 1),
-            "unit": f"scenes/s (batch {batch_size})", "vs_baseline": None}
+    suffix = "_bf16" if compute_dtype == "bfloat16" else ""
+    return {"metric": f"train_scenes_per_sec{suffix}",
+            "value": round(rate, 1),
+            "unit": f"scenes/s (batch {batch_size}"
+                    + (f", {compute_dtype}" if compute_dtype else "") + ")",
+            "vs_baseline": None}
 
 
 # ---------------------------------------------------------------------------
@@ -467,6 +481,8 @@ def _run_only(name: str) -> None:
         _emit(bench_spade_quality())
     elif name == "train":
         _emit(bench_train())
+    elif name == "train_bf16":
+        _emit(bench_train(compute_dtype="bfloat16"))
     elif name == "quality":
         for rec in bench_quality(_load_bench_model()):
             _emit(rec)
@@ -487,7 +503,7 @@ def _run_only(name: str) -> None:
 # insensitive to prior state and the driver parses the final line).
 ORDER = ("spade_256px", "spade_quality", "refine_96px", "refine_batched",
          "refine_256px", "refine_batched_256px", "refine_iou", "train",
-         "quality", "layouts")
+         "train_bf16", "quality", "layouts")
 
 
 def main():

@@ -12,13 +12,46 @@ from sln_tpu.data.augment import SizeInfo
 from sln_tpu.train import checkpoint as ckpt_lib
 
 
+def _synthetic_arrays_cached(n: int, seed: int, max_objects: int):
+    """Tensorized synthetic rooms, disk-cached.
+
+    Generating rooms is pure host Python (~minutes for 4096 rooms on one
+    core) and bench/tools regenerate identical sets repeatedly; the
+    deterministic (n, seed, max_objects) key makes an .npz cache exact.
+    Set SLN_TPU_DATA_CACHE=0 to disable, or point it at a directory.
+    """
+    import os
+    import tempfile
+
+    cache_root = os.environ.get("SLN_TPU_DATA_CACHE", "")
+    if cache_root == "0":
+        rooms = synthetic.generate_rooms(n, seed=seed)
+        return tensorize.tensorize_rooms(rooms, max_objects)
+    cache_dir = cache_root or os.path.join(tempfile.gettempdir(),
+                                           "sln_tpu_data_cache")
+    path = os.path.join(cache_dir, f"syn_{n}_{seed}_{max_objects}.npz")
+    if os.path.isfile(path):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    rooms = synthetic.generate_rooms(n, seed=seed)
+    arrays = tensorize.tensorize_rooms(rooms, max_objects)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:     # file object: np.savez would
+            np.savez(f, **arrays)      # append .npz to a str path
+        os.replace(tmp, path)          # atomic vs concurrent writers
+    except OSError:
+        pass
+    return arrays
+
+
 def load_arrays(path_or_synthetic, cfg: Config, synthetic_seed=0):
     """path (reference JSON schema) or int N -> padded arrays + size table."""
     import jax.numpy as jnp
     if isinstance(path_or_synthetic, int):
-        rooms = synthetic.generate_rooms(path_or_synthetic,
-                                         seed=synthetic_seed)
-        arrays = tensorize.tensorize_rooms(rooms, cfg.data.max_objects)
+        arrays = _synthetic_arrays_cached(path_or_synthetic, synthetic_seed,
+                                          cfg.data.max_objects)
     else:
         arrays = tensorize.tensorize_file(path_or_synthetic,
                                           cfg.data.max_objects)
