@@ -240,47 +240,19 @@ def bench_spade_quality(num_rooms: int = 8) -> dict:
     like every other workload's quality line. Counterpart of the
     reference's pretrained-weights shading eval
     (testing/test_SPADE_shade.py:9-14,77-80)."""
-    import dataclasses as dc
-
     import jax
     import jax.numpy as jnp
 
     from sln_tpu.config import default_config
-    from sln_tpu.data.augment import build_graphs
-    from sln_tpu.render import assets, scene as scene_lib
-    from sln_tpu.workloads import common, gan_shade
+    from sln_tpu.workloads import gan_shade
 
     cfg = default_config()
     model, params = gan_shade.make_spade_model(cfg)
-    crop = model.crop_size
-    arrays, size_info = common.load_arrays(max(num_rooms, 8), cfg,
-                                           synthetic_seed=19)
-    rcfg = dc.replace(cfg.render, camera=dc.replace(
-        cfg.render.camera, image_size=crop))
-    bank_host = assets.build_procedural_bank(cfg.render.mesh_subdiv)
-    bank = scene_lib.device_bank(bank_host, cfg.render.shell_subdiv)
-    segs = []
-    for i in range(num_rooms):
-        batch = build_graphs(
-            jax.random.PRNGKey(100 + i),
-            jnp.asarray(arrays["objs"][i:i + 1]),
-            jnp.asarray(arrays["boxes"][i:i + 1]),
-            jnp.asarray(arrays["angles"][i:i + 1]),
-            jnp.asarray(arrays["obj_mask"][i:i + 1]),
-            jnp.asarray(arrays["room_ids"][i:i + 1]), size_info,
-            max_on_rels=cfg.data.max_on_rels)
-        ch = np.asarray(gan_shade.render_scene_channels(
-            batch, bank_host, bank, rcfg))
-        segs.append(gan_shade.layout_channels_to_spade_input(ch))
-    segs = jnp.asarray(np.stack(segs))
+    segs = jnp.asarray(gan_shade.render_spade_inputs(
+        num_rooms, cfg, model.crop_size, synthetic_seed=19,
+        key_offset=100))
     target = gan_shade.shading_target(segs)
-
-    @jax.jit
-    def metrics(p, seg, rgb, z):
-        fake = model.apply({"params": p}, seg, z)
-        l1 = jnp.abs(fake - rgb).mean()
-        mse = jnp.square((fake - rgb) * 0.5).mean()   # on [0, 1] scale
-        return l1, -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+    metrics = gan_shade.make_shading_metrics(model)
 
     z = jax.random.normal(jax.random.PRNGKey(3), (num_rooms, model.nz))
     l1, psnr = metrics(params, segs, target, z)

@@ -177,7 +177,8 @@ def make_mmd_gan_train_step(generator, discriminator, encoder, g_tx, d_tx,
                             lambda_feat: float = 10.0,
                             lambda_z: float = 1.0,
                             lambda_mmd: float = 10.0,
-                            lambda_rec: float = 10.0):
+                            lambda_rec: float = 10.0,
+                            lambda_l1: float = 0.0):
     """Jitted MMD training mode — the objective the reference's unused
     MMD classes imply (SPADE_related.py:909-979 encoders, :1237-1398
     discriminators with decide + z_out heads):
@@ -241,10 +242,13 @@ def make_mmd_gan_train_step(generator, discriminator, encoder, g_tx, d_tx,
                                     False)
             fake_plain, fake_z = split_mmd_output(fake_out)
             real_plain, _ = split_mmd_output(real_out)
-            return (gan_loss(fake_plain, True, False, gan_mode)
+            loss = (gan_loss(fake_plain, True, False, gan_mode)
                     + lambda_feat * feature_matching_loss(fake_plain,
                                                           real_plain)
                     + lambda_z * z_regression(fake_z, z))
+            if lambda_l1:
+                loss = loss + lambda_l1 * jnp.abs(fake - real).mean()
+            return loss
 
         g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)

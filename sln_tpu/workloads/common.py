@@ -12,13 +12,28 @@ from sln_tpu.data.augment import SizeInfo
 from sln_tpu.train import checkpoint as ckpt_lib
 
 
+def _generator_code_token() -> str:
+    """Short hash of the data-generating sources (synthetic.py +
+    tensorize.py), so the disk cache self-invalidates when either module
+    changes — a (n, seed) key alone would silently serve arrays produced
+    by old code to every test and bench."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for mod in (synthetic, tensorize):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:8]
+
+
 def _synthetic_arrays_cached(n: int, seed: int, max_objects: int):
     """Tensorized synthetic rooms, disk-cached.
 
     Generating rooms is pure host Python (~minutes for 4096 rooms on one
     core) and bench/tools regenerate identical sets repeatedly; the
-    deterministic (n, seed, max_objects) key makes an .npz cache exact.
-    Set SLN_TPU_DATA_CACHE=0 to disable, or point it at a directory.
+    deterministic (n, seed, max_objects, code-hash) key makes an .npz
+    cache exact. Set SLN_TPU_DATA_CACHE=0 to disable, or point it at a
+    directory.
     """
     import os
     import tempfile
@@ -29,7 +44,9 @@ def _synthetic_arrays_cached(n: int, seed: int, max_objects: int):
         return tensorize.tensorize_rooms(rooms, max_objects)
     cache_dir = cache_root or os.path.join(tempfile.gettempdir(),
                                            "sln_tpu_data_cache")
-    path = os.path.join(cache_dir, f"syn_{n}_{seed}_{max_objects}.npz")
+    path = os.path.join(
+        cache_dir,
+        f"syn_{n}_{seed}_{max_objects}_{_generator_code_token()}.npz")
     if os.path.isfile(path):
         with np.load(path) as z:
             return {k: z[k] for k in z.files}

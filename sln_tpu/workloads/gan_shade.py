@@ -141,6 +141,63 @@ def render_scene_channels(batch, bank_host, bank, rcfg):
         batch.obj_mask[0], midx, bank, rcfg)
 
 
+def render_spade_inputs(num_rooms: int, cfg: Config, crop: int,
+                        synthetic_seed: int = 0,
+                        key_offset: int = 0) -> np.ndarray:
+    """(N, crop, crop, 41) SPADE inputs from rasterized synthetic rooms.
+
+    The single source of the render-rooms-to-spade-input loop shared by
+    the trainer (tools/train_spade.py synthetic_pairs) and the bench's
+    shading-quality line — both must measure against inputs produced the
+    same way. `synthetic_seed` picks the room set (the bench holds out
+    seed 19 vs the trainer's 0) and `key_offset` the per-room graph
+    augmentation keys.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from sln_tpu.workloads import common
+
+    arrays, size_info = common.load_arrays(num_rooms, cfg,
+                                           synthetic_seed=synthetic_seed)
+    rcfg = dataclasses.replace(cfg.render, camera=dataclasses.replace(
+        cfg.render.camera, image_size=crop))
+    bank_host = assets.build_procedural_bank(cfg.render.mesh_subdiv)
+    bank = scene_lib.device_bank(bank_host, cfg.render.shell_subdiv)
+    segs = []
+    for i in range(num_rooms):
+        batch = build_graphs(
+            jax.random.PRNGKey(key_offset + i),
+            jnp.asarray(arrays["objs"][i:i + 1]),
+            jnp.asarray(arrays["boxes"][i:i + 1]),
+            jnp.asarray(arrays["angles"][i:i + 1]),
+            jnp.asarray(arrays["obj_mask"][i:i + 1]),
+            jnp.asarray(arrays["room_ids"][i:i + 1]), size_info,
+            max_on_rels=cfg.data.max_on_rels)
+        ch = np.asarray(render_scene_channels(batch, bank_host, bank, rcfg))
+        segs.append(layout_channels_to_spade_input(ch))
+    return np.stack(segs)
+
+
+def make_shading_metrics(model):
+    """Jitted (params, seg, rgb, z) -> (L1 on [-1,1], PSNR dB on [0,1])
+    for a SPADE generator — the one PSNR definition shared by the
+    trainer's val report and the bench's spade_shading_psnr line."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def metrics(params, seg, rgb, z):
+        fake = model.apply({"params": params}, seg, z)
+        l1 = jnp.abs(fake - rgb).mean()
+        mse = jnp.square((fake - rgb) * 0.5).mean()   # on [0, 1] scale
+        return l1, -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+
+    return metrics
+
+
 def load_native_spade_checkpoint(path: str):
     """(generator params, train config dict) from a tools/train_spade.py
     checkpoint (pickle with g_params [+ config]; float16-stored leaves
@@ -167,9 +224,11 @@ def default_spade_checkpoint_path() -> str:
 def make_spade_model(cfg: Config, checkpoint_path: Optional[str] = None):
     """Generator + params. Weight sources, in order: an explicit path
     (.pth -> ported reference checkpoint, anything else -> native
-    train_spade pickle), the committed artifacts/spade_gan.ckpt, a
-    latest_net_G_AB.pth under the output dir
-    (testing/test_SPADE_shade.py:9-14), then random init."""
+    train_spade pickle; a missing explicit path RAISES rather than
+    silently writing noise images), the committed artifacts/spade_gan.ckpt,
+    a latest_net_G_AB.pth under the output dir
+    (testing/test_SPADE_shade.py:9-14), then random init. Pass the
+    sentinel "random" to force random init at cfg dims (hermetic tests)."""
     import jax
 
     import jax.numpy as jnp
@@ -183,9 +242,19 @@ def make_spade_model(cfg: Config, checkpoint_path: Optional[str] = None):
                                dtype=jnp.dtype(sp.compute_dtype))
 
     model = build(sp.ngf, sp.nz, sp.crop_size)
-    candidates = [checkpoint_path] if checkpoint_path else [
-        default_spade_checkpoint_path(),
-        os.path.join(cfg.train.output_dir, "latest_net_G_AB.pth")]
+    if checkpoint_path == "random":
+        candidates = []
+    elif checkpoint_path:
+        # an explicitly requested checkpoint must exist — silently falling
+        # back to random init would write plausible-looking noise images
+        if not os.path.isfile(checkpoint_path):
+            raise FileNotFoundError(
+                f"--spade_checkpoint {checkpoint_path!r} does not exist")
+        candidates = [checkpoint_path]
+    else:
+        candidates = [
+            default_spade_checkpoint_path(),
+            os.path.join(cfg.train.output_dir, "latest_net_G_AB.pth")]
     for path in candidates:
         if not os.path.isfile(path):
             continue
@@ -201,7 +270,8 @@ def make_spade_model(cfg: Config, checkpoint_path: Optional[str] = None):
                           ck.get("crop", sp.crop_size))
             print(f"Loaded SPADE weights from {path}")
         return model, params
-    print(f"WARNING: no SPADE checkpoint at {candidates}; random init")
+    if checkpoint_path != "random":
+        print(f"WARNING: no SPADE checkpoint at {candidates}; random init")
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, sp.crop_size, sp.crop_size,
                                    sp.semantic_nc)),

@@ -5,8 +5,13 @@ The reference runs 20,000 sequential decoder calls on one 6-node graph
 trials are a batch axis: one jitted program decodes thousands of identical
 graphs with independent z ~ N(mean, cov) draws per call.
 
-Artifacts keep the reference format: `<idx>_heat.pkl` holding
-[objs, attributes, boxes_list, ag_list] and plasma heatmap PNGs.
+Artifacts keep the reference layout: `<idx>_heat.pkl` holding
+[objs, attributes, boxes, ag_list] and plasma heatmap PNGs. One
+documented deviation: `boxes` is a single (num_iter, n, 6) ndarray where
+the reference pickles a list of per-trial lists of (6,) arrays
+(test_heatmap.py:62-64) — indexing (`heat[2][trial][obj]`) is unchanged,
+but consumers relying on list mutation or JSON-serializability of the
+pkl need np.asarray semantics.
 """
 
 from __future__ import annotations

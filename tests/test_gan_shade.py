@@ -31,11 +31,12 @@ def test_run_gan_shade_writes_images(tmp_path):
         spade=SpadeConfig(crop_size=64, ngf=8, nz=16, num_z=3))
     val_arrays, size_info = common.load_arrays(4, cfg, synthetic_seed=5)
     # vae model unused by the render path here but part of the signature;
-    # the missing explicit checkpoint keeps the test hermetic (random init
-    # at cfg dims) even when the committed artifact exists
+    # the "random" sentinel keeps the test hermetic (random init at cfg
+    # dims) even when the committed artifact exists — a missing explicit
+    # path raises instead of silently producing noise
     gan_shade.run_gan_shade(None, None, val_arrays, size_info, cfg,
                             num_z=3, save_dir=str(tmp_path),
-                            spade_checkpoint=str(tmp_path / "missing.ckpt"),
+                            spade_checkpoint="random",
                             rooms=[str(int(val_arrays["room_ids"][0]))])
     pngs = [f for f in os.listdir(tmp_path) if f.endswith("_color.png")]
     assert len(pngs) == 3

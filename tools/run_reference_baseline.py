@@ -69,9 +69,18 @@ def stage_data(stage: str, train_rooms: int, val_rooms: int) -> None:
 
     for name, n, seed in (("train", train_rooms, 42), ("val", val_rooms, 7)):
         path = os.path.join(stage, f"data_rot_{name}.json")
-        if not os.path.isfile(path):
-            with open(path, "w") as f:
-                json.dump(generate_rooms(n, seed=seed), f)
+        if os.path.isfile(path):
+            # a previous run (e.g. the docstring's smoke command) may have
+            # staged a DIFFERENT room count; silently reusing it would train
+            # the baseline on the wrong dataset while results.json records
+            # the requested one — regenerate unless the count matches
+            with open(path) as f:
+                if len(json.load(f)) == n:
+                    continue
+            print(f"| restaging {path}: existing room count != {n}",
+                  flush=True)
+        with open(path, "w") as f:
+            json.dump(generate_rooms(n, seed=seed), f)
 
     # vocab order parity: prepending '__room__' (suncg_dataset.py:31)
     # reproduces sln_tpu's OBJECT_IDX_TO_NAME exactly

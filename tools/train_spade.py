@@ -27,39 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 
 def synthetic_pairs(num_rooms: int, crop: int, seed: int = 0):
     """(seg (N,H,W,41), rgb (N,H,W,3)) from rasterized synthetic rooms."""
-    import dataclasses
-
-    import jax
-    import jax.numpy as jnp
-
     from sln_tpu.config import default_config
-    from sln_tpu.data.augment import build_graphs
-    from sln_tpu.render import assets, scene as scene_lib
-    from sln_tpu.workloads import common, gan_shade
+    from sln_tpu.workloads import gan_shade
 
     cfg = default_config()
-    arrays, size_info = common.load_arrays(num_rooms, cfg,
-                                           synthetic_seed=seed)
-    rcfg = dataclasses.replace(cfg.render, camera=dataclasses.replace(
-        cfg.render.camera, image_size=crop))
-    bank_host = assets.build_procedural_bank(cfg.render.mesh_subdiv)
-    bank = scene_lib.device_bank(bank_host, cfg.render.shell_subdiv)
-
-    segs = []
-    for i in range(num_rooms):
-        batch = build_graphs(
-            jax.random.PRNGKey(i),
-            jnp.asarray(arrays["objs"][i:i + 1]),
-            jnp.asarray(arrays["boxes"][i:i + 1]),
-            jnp.asarray(arrays["angles"][i:i + 1]),
-            jnp.asarray(arrays["obj_mask"][i:i + 1]),
-            jnp.asarray(arrays["room_ids"][i:i + 1]), size_info,
-            max_on_rels=cfg.data.max_on_rels)
-        ch = np.asarray(gan_shade.render_scene_channels(
-            batch, bank_host, bank, rcfg))
-        segs.append(gan_shade.layout_channels_to_spade_input(ch))
-    segs = np.stack(segs)
-    # one shared target across trainer / bench / tests (gan_shade.py)
+    # shared render loop + shading target (gan_shade.py) so the trainer,
+    # bench quality line, and tests all measure against the same pipeline
+    segs = gan_shade.render_spade_inputs(num_rooms, cfg, crop,
+                                         synthetic_seed=seed)
     rgbs = np.asarray(gan_shade.shading_target(segs), np.float32)
     return segs, rgbs
 
@@ -103,9 +78,10 @@ def main(argv=None):
     p.add_argument("--save_every", type=int, default=0,
                    help="checkpoint every N steps (0: only at the end)")
     p.add_argument("--resume", default="",
-                   help="warm-start G/D (+E) params from a previous "
-                        "spade_gan.ckpt (optimizer state restarts fresh "
-                        "— the checkpoint stores params only)")
+                   help="warm-start G/D (+E) params and spectral-norm "
+                        "state from a previous spade_gan.ckpt (optimizer "
+                        "state restarts fresh — the checkpoint does not "
+                        "store it)")
     p.add_argument("--mmd", action="store_true",
                    help="MMD training mode: MMD discriminators "
                         "(decide + z_out heads) + ConvEncoderPSPSEMMD "
@@ -134,6 +110,13 @@ def main(argv=None):
         print(f"| rendering {n} synthetic (seg, rgb) pairs at {args.crop}px")
         segs, rgbs = synthetic_pairs(n, args.crop)
     n_val = max(1, int(len(segs) * args.val_frac)) if args.eval_every else 0
+    # never let the held-out split consume the whole dataset
+    n_val = min(n_val, len(segs) - 1)
+    if n_val <= 0:
+        if args.eval_every:
+            print("| dataset too small to hold out a val split; "
+                  "disabling eval", flush=True)
+        n_val = 0
     val_segs, val_rgbs = segs[:n_val], rgbs[:n_val]
     segs, rgbs = segs[n_val:], rgbs[n_val:]
     print(f"| dataset: {segs.shape} -> {rgbs.shape} (+{n_val} held out)")
@@ -167,7 +150,8 @@ def main(argv=None):
             d_opt=d_tx.init(d_vars["params"]),
             e_opt=e_tx.init(e_vars["params"]),
             step=jnp.zeros((), jnp.int32))
-        step = make_mmd_gan_train_step(gen, disc, enc, g_tx, d_tx, e_tx)
+        step = make_mmd_gan_train_step(gen, disc, enc, g_tx, d_tx, e_tx,
+                                       lambda_l1=args.lambda_l1)
     else:
         state = GanState(
             g_params=g_vars["params"], d_params=d_vars["params"],
@@ -189,19 +173,22 @@ def main(argv=None):
         state = state._replace(g_params=cast(prev["g_params"]))
         if "d_params" in prev:
             state = state._replace(d_params=cast(prev["d_params"]))
+        if "d_spectral" in prev:
+            # restore the spectral-norm power-iteration u vectors too, so
+            # resumed runs don't re-converge D's normalization from init
+            state = state._replace(d_spectral=cast(prev["d_spectral"]))
         if args.mmd and "e_params" in prev:
             state = state._replace(e_params=cast(prev["e_params"]))
+        if args.mmd and "e_spectral" in prev:
+            state = state._replace(e_spectral=cast(prev["e_spectral"]))
         start_step = int(prev.get("config", {}).get("trained_steps", 0))
         print(f"| warm-started params from {args.resume} "
               f"(previously trained {start_step} steps)", flush=True)
 
-    @jax.jit
-    def val_metrics(g_params, seg, rgb, z):
-        """Held-out L1 (on [-1,1]) and PSNR (on [0,1])."""
-        fake = gen.apply({"params": g_params}, seg, z)
-        l1 = jnp.abs(fake - rgb).mean()
-        mse = jnp.square((fake - rgb) * 0.5).mean()
-        return l1, -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+    # held-out L1 (on [-1,1]) / PSNR (on [0,1]) — the same jitted metric
+    # the bench's spade_shading_psnr line uses (gan_shade.py)
+    from sln_tpu.workloads.gan_shade import make_shading_metrics
+    val_metrics = make_shading_metrics(gen)
 
     # device-resident val set (same host-buffer-leak avoidance as below)
     val_segs_d = jnp.asarray(val_segs) if n_val else None
@@ -220,16 +207,23 @@ def main(argv=None):
             psnrs.append(float(psnr) * seg.shape[0])
         return sum(l1s) / n_val, sum(psnrs) / n_val
 
-    def save(state, extra):
+    def save(state, t, extra):
         os.makedirs(args.output_dir, exist_ok=True)
         out = os.path.join(args.output_dir, "spade_gan.ckpt")
-        config = {**vars(args), **extra}
+        # trained_steps is stamped from the loop counter at every save, not
+        # from the last eval tick, so --resume accounting stays exact even
+        # for checkpoints written between evals (or with --eval_every 0)
+        config = {**vars(args), **extra,
+                  "trained_steps": start_step + t}
         payload = {
             "g_params": jax.tree.map(np.asarray, state.g_params),
             "d_params": jax.tree.map(np.asarray, state.d_params),
+            "d_spectral": jax.tree.map(np.asarray, state.d_spectral),
             "config": config}
         if args.mmd:
             payload["e_params"] = jax.tree.map(np.asarray, state.e_params)
+            payload["e_spectral"] = jax.tree.map(np.asarray,
+                                                 state.e_spectral)
         with open(out, "wb") as f:
             pickle.dump(payload, f)
         print("saved", out, flush=True)
@@ -275,16 +269,16 @@ def main(argv=None):
             print(f"step {t} ({rate:.1f} img/s): " + " ".join(
                 f"{k[0]}={float(v):.4f}" for k, v in sorted(losses.items())),
                 flush=True)
-        if args.eval_every and (t % args.eval_every == 0 or t == args.steps):
+        if args.eval_every and n_val and (t % args.eval_every == 0
+                                          or t == args.steps):
             l1, psnr = run_eval(state.g_params)
-            last_eval = {"val_l1": l1, "val_psnr": psnr,
-                         "trained_steps": start_step + t}
+            last_eval = {"val_l1": l1, "val_psnr": psnr}
             print(f"step {t}: val_l1={l1:.4f} val_psnr={psnr:.2f}dB",
                   flush=True)
         if args.save_every and t % args.save_every == 0:
-            save(state, last_eval)
+            save(state, t, last_eval)
 
-    save(state, last_eval)
+    save(state, args.steps, last_eval)
 
 
 if __name__ == "__main__":
