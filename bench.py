@@ -267,7 +267,7 @@ def bench_spade_quality(num_rooms: int = 8) -> dict:
 # training throughput
 # ---------------------------------------------------------------------------
 def bench_train(batch_size: int = 256, steps: int = 60,
-                compute_dtype: str = "") -> dict:
+                compute_dtype: str = "", microbatch: int = 0) -> dict:
     """Train-step throughput (scenes/s) at the measured per-chip
     sweet-spot batch (larger per-chip batches are worse per scene — the
     fwd/bwd loses fused-pipeline efficiency past ~256 scenes/chip; see
@@ -275,7 +275,9 @@ def bench_train(batch_size: int = 256, steps: int = 60,
     through the donated state (data-dependent), and the final loss is
     fetched, so the timing is tunnel-honest without a scan.
     compute_dtype='bfloat16' benches the reduced-precision option
-    (params/BN stats stay fp32)."""
+    (params/BN stats stay fp32). microbatch > 0 benches the
+    gradient-accumulation path that keeps big batches at the sweet-spot
+    chunk shape (train.py --microbatch)."""
     import jax
     import jax.numpy as jnp
 
@@ -284,11 +286,15 @@ def bench_train(batch_size: int = 256, steps: int = 60,
     from sln_tpu.train import loop as tl
     from sln_tpu.workloads import common
 
+    import dataclasses as dc
+
     cfg = default_config()
     if compute_dtype:
-        import dataclasses as dc
         cfg = cfg.replace(model=dc.replace(cfg.model,
                                            compute_dtype=compute_dtype))
+    if microbatch:
+        cfg = cfg.replace(train=dc.replace(cfg.train,
+                                           microbatch=microbatch))
     arrays, size_info = common.load_arrays(4096, cfg, synthetic_seed=0)
     raw = next(tl.batches_from_arrays(arrays, batch_size,
                                       np.random.default_rng(0)))
@@ -308,10 +314,14 @@ def bench_train(batch_size: int = 256, steps: int = 60,
         float(losses["total_loss"])
         rate = max(rate, steps * batch_size / (time.perf_counter() - t0))
     suffix = "_bf16" if compute_dtype == "bfloat16" else ""
+    if microbatch:
+        suffix += f"_b{batch_size}_mb{microbatch}"
     return {"metric": f"train_scenes_per_sec{suffix}",
             "value": round(rate, 1),
             "unit": f"scenes/s (batch {batch_size}"
-                    + (f", {compute_dtype}" if compute_dtype else "") + ")",
+                    + (f", {compute_dtype}" if compute_dtype else "")
+                    + (f", microbatch {microbatch}" if microbatch else "")
+                    + ")",
             "vs_baseline": None}
 
 
@@ -455,6 +465,10 @@ def _run_only(name: str) -> None:
         _emit(bench_train())
     elif name == "train_bf16":
         _emit(bench_train(compute_dtype="bfloat16"))
+    elif name == "train_accum":
+        # per-chip batch 1024 at the microbatch-256 chunk shape: shows the
+        # gradient-accumulation path holds the sweet-spot rate at 4x batch
+        _emit(bench_train(batch_size=1024, steps=20, microbatch=256))
     elif name == "quality":
         for rec in bench_quality(_load_bench_model()):
             _emit(rec)
@@ -475,7 +489,7 @@ def _run_only(name: str) -> None:
 # insensitive to prior state and the driver parses the final line).
 ORDER = ("spade_256px", "spade_quality", "refine_96px", "refine_batched",
          "refine_256px", "refine_batched_256px", "refine_iou", "train",
-         "train_bf16", "quality", "layouts")
+         "train_bf16", "train_accum", "quality", "layouts")
 
 
 def main():

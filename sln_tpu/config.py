@@ -129,6 +129,12 @@ class TrainConfig:
     # small floor (e.g. 0.05) keeps z informative.
     kl_free_bits: float = 0.0
     seed: int = 42
+    # Gradient accumulation: split each step's batch into microbatch-sized
+    # chunks run through one lax.scan (0 = off). The full-batch mean
+    # gradient is exact; fwd/bwd runs at the chunk shape, which keeps
+    # large per-chip batches at the <=256 fused-pipeline sweet spot
+    # (see CLAUDE.md perf notes on batch scaling).
+    microbatch: int = 0
     print_every: int = 100
     checkpoint_every: int = 1000
     snapshot_every: int = 10_000

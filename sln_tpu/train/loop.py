@@ -8,7 +8,6 @@ Adam with a NaN-skip guard, all sharded over the data axis of an ICI mesh.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -70,32 +69,80 @@ def make_train_step(model: Sg2ScVAE, tx: optax.GradientTransformation,
     eval_mode=True keeps optimizing parameters but runs the model with
     frozen BatchNorm statistics — the reference's `model.eval()` switch at
     --eval_mode_after (train.py:63-65).
+
+    cfg.train.microbatch > 0 runs the step as gradient accumulation over
+    batch-chunks of that size (one lax.scan, exact full-batch mean
+    gradient, one optimizer update); the incoming batch size must be a
+    multiple of it. microbatch == 0 or >= batch behaves identically to a
+    single chunk.
     """
 
     max_on = cfg.data.max_on_rels
     use_attr_30 = cfg.data.use_attr_30
     use_ae = cfg.model.use_ae
     train_flag = not eval_mode
+    microbatch = cfg.train.microbatch
 
     def step_fn(state: TrainState, raw: RawBatch, rng: jax.Array):
-        rng_graph, rng_z = jax.random.split(jax.random.fold_in(rng,
-                                                               state.step))
-        batch = build_graphs(rng_graph, raw.objs, raw.boxes, raw.angles,
-                             raw.obj_mask, raw.room_ids, size_info,
-                             max_on_rels=max_on, use_attr_30=use_attr_30)
+        B = raw.objs.shape[0]
+        mb = microbatch if 0 < microbatch < B else B
+        if B % mb:
+            raise ValueError(f"batch size {B} is not divisible by "
+                             f"train.microbatch {mb}")
+        k = B // mb
+        chunks = jax.tree.map(
+            lambda a: a.reshape((k, mb) + a.shape[1:]), raw)
+        rng_step = jax.random.fold_in(rng, state.step)
+        kl_w = kl_weight_at(state.step + 1, cfg.train)
 
-        def loss_fn(params):
-            (mu, logvar, boxes_pred, angle_lp), mut = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch, rng_z, train_flag, mutable=["batch_stats"])
-            kl_w = kl_weight_at(state.step + 1, cfg.train)
-            total, losses = vae_losses(batch, mu, logvar, boxes_pred,
-                                       angle_lp, kl_w, use_ae,
-                                       cfg.train.kl_free_bits)
-            return total, (losses, mut.get("batch_stats", {}))
+        def chunk_grads(batch_stats, chunk: RawBatch, idx: jnp.ndarray):
+            """(grads, total, losses, new_stats) for one microbatch."""
+            rng_graph, rng_z = jax.random.split(
+                jax.random.fold_in(rng_step, idx))
+            batch = build_graphs(rng_graph, chunk.objs, chunk.boxes,
+                                 chunk.angles, chunk.obj_mask,
+                                 chunk.room_ids, size_info,
+                                 max_on_rels=max_on,
+                                 use_attr_30=use_attr_30)
 
-        (total, (losses, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            def loss_fn(params):
+                (mu, logvar, boxes_pred, angle_lp), mut = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    batch, rng_z, train_flag, mutable=["batch_stats"])
+                total, losses = vae_losses(batch, mu, logvar, boxes_pred,
+                                           angle_lp, kl_w, use_ae,
+                                           cfg.train.kl_free_bits)
+                return total, (losses, mut.get("batch_stats", {}))
+
+            (total, (losses, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            return grads, total, losses, new_stats
+
+        def scan_body(carry, chunk_and_idx):
+            batch_stats, grads_acc, total_acc = carry
+            chunk, idx = chunk_and_idx
+            grads, total, losses, new_stats = chunk_grads(batch_stats,
+                                                          chunk, idx)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            stats = new_stats if new_stats else batch_stats
+            return (stats, grads_acc, total_acc + total), losses
+
+        # One pass over k equal microbatches accumulates the exact
+        # full-batch mean gradient (each chunk loss is a mean over mb
+        # scenes) while each fwd/bwd runs at the mb<=256 shape where the
+        # fused pipeline stays inside the VMEM window (CLAUDE.md perf
+        # notes / tools/profile_batch_scaling.py). BN running statistics
+        # thread sequentially through the chunks, exactly as k successive
+        # minibatches would.
+        zero_grads = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, p.dtype), state.params)
+        (new_stats, grads, total), losses = jax.lax.scan(
+            scan_body,
+            (state.batch_stats, zero_grads, jnp.float32(0)),
+            (chunks, jnp.arange(k, dtype=jnp.int32)))
+        grads = jax.tree.map(lambda g: g / k, grads)
+        total = total / k
+        losses = jax.tree.map(lambda v: v.mean(0), losses)
 
         # NaN guard: skip the whole update on non-finite loss
         # (reference train.py:79-81).
@@ -113,6 +160,7 @@ def make_train_step(model: Sg2ScVAE, tx: optax.GradientTransformation,
             else state.batch_stats,
             opt_state=pick(new_opt, state.opt_state),
             step=state.step + 1)
+        losses = dict(losses)
         losses["skipped_nan"] = (~finite).astype(jnp.float32)
         return new_state, losses
 

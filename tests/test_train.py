@@ -95,6 +95,93 @@ def test_spmd_step_matches_single_device():
                                    rtol=0, atol=2.5e-3)
 
 
+def test_microbatch_accumulation_matches_manual_loop():
+    """cfg.train.microbatch runs the step as a scan of chunk fwd/bwd with
+    one update. Replicate it by hand through the public pieces — per-chunk
+    rng = fold_in(fold_in(rng, step), idx), BN stats threaded chunk to
+    chunk, mean gradient, one Adam update. Losses/stats must agree to fp
+    noise; params to ~2*lr (Adam normalizes near-zero grads to +-lr steps,
+    so jit-vs-eager reduction-order noise can flip a step — same bound as
+    the SPMD equality test)."""
+    import dataclasses as dc
+
+    import optax
+
+    from sln_tpu.train.losses import vae_losses
+
+    cfg, arrays, size_info, example = _setup(batch_size=8, num_rooms=16)
+    mb = 4
+    cfg_mb = cfg.replace(train=dc.replace(cfg.train, microbatch=mb))
+    raw = next(train_loop.batches_from_arrays(
+        arrays, 8, np.random.default_rng(0)))
+    raw = train_loop.RawBatch(*(jnp.asarray(x) for x in raw))
+    model, state, tx = train_loop.create_state(
+        cfg_mb, jax.random.PRNGKey(1), example)
+    rng = jax.random.PRNGKey(3)
+
+    step = train_loop.make_train_step(model, tx, cfg_mb, size_info)
+    s_mb, l_mb = step(jax.tree.map(jnp.copy, state), raw, rng)
+
+    # manual accumulation over the two chunks
+    rng_step = jax.random.fold_in(rng, state.step)
+    kl_w = train_loop.kl_weight_at(state.step + 1, cfg_mb.train)
+    stats = state.batch_stats
+    grads_sum, totals = None, []
+    for i in range(2):
+        chunk = jax.tree.map(lambda a: a[i * mb:(i + 1) * mb], raw)
+        rng_graph, rng_z = jax.random.split(
+            jax.random.fold_in(rng_step, jnp.int32(i)))
+        batch = build_graphs(rng_graph, chunk.objs, chunk.boxes,
+                             chunk.angles, chunk.obj_mask, chunk.room_ids,
+                             size_info, max_on_rels=cfg.data.max_on_rels)
+
+        def loss_fn(params, batch=batch, rng_z=rng_z, stats=stats):
+            (mu, logvar, bp, alp), mut = model.apply(
+                {"params": params, "batch_stats": stats}, batch, rng_z,
+                True, mutable=["batch_stats"])
+            total, _ = vae_losses(batch, mu, logvar, bp, alp, kl_w,
+                                  cfg.model.use_ae, cfg.train.kl_free_bits)
+            return total, mut["batch_stats"]
+
+        (total, stats), g = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        totals.append(total)
+        grads_sum = g if grads_sum is None else jax.tree.map(
+            jnp.add, grads_sum, g)
+    grads = jax.tree.map(lambda g: g / 2, grads_sum)
+    updates, _ = tx.update(grads, state.opt_state, state.params)
+    expect_params = optax.apply_updates(state.params, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(l_mb["total_loss"]),
+        np.asarray((totals[0] + totals[1]) / 2), rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=0, atol=2.5e-3),
+        s_mb.params, expect_params)
+    # BN var is one-pass E[x^2]-E[x]^2 (layers.py): the subtraction
+    # amplifies jit-vs-eager fp noise by ~1/var, so the stats check only
+    # guards gross threading errors (e.g. chunk 1 seeing init stats)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-5),
+        s_mb.batch_stats, stats)
+
+
+def test_microbatch_indivisible_batch_raises():
+    import dataclasses as dc
+
+    import pytest
+
+    cfg, arrays, size_info, example = _setup(batch_size=8, num_rooms=8)
+    cfg = cfg.replace(train=dc.replace(cfg.train, microbatch=3))
+    raw = next(train_loop.batches_from_arrays(
+        arrays, 8, np.random.default_rng(0)))
+    model, state, tx = train_loop.create_state(
+        cfg, jax.random.PRNGKey(1), example)
+    step = train_loop.make_train_step(model, tx, cfg, size_info)
+    with pytest.raises(ValueError, match="not divisible"):
+        step(state, raw, jax.random.PRNGKey(0))
+
+
 def test_train_step_deterministic():
     """Determinism stands in for the reference's global manual_seed
     (SURVEY 5.2): identical state + batch + key -> bit-identical update."""

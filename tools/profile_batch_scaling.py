@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--dtype", default="",
                     help="override ModelConfig.compute_dtype "
                          "(e.g. bfloat16) for the sweep")
+    ap.add_argument("--microbatch", type=int, default=0,
+                    help="TrainConfig.microbatch for the step probe: "
+                         "batches above this run as gradient accumulation "
+                         "over sweet-spot-sized chunks")
     args = ap.parse_args()
 
     import jax
@@ -47,10 +51,14 @@ def main():
     from sln_tpu.workloads import common
 
     cfg = default_config()
-    if args.dtype:
+    if args.dtype or args.microbatch:
         import dataclasses as dc
-        cfg = cfg.replace(model=dc.replace(cfg.model,
-                                           compute_dtype=args.dtype))
+        if args.dtype:
+            cfg = cfg.replace(model=dc.replace(cfg.model,
+                                               compute_dtype=args.dtype))
+        if args.microbatch:
+            cfg = cfg.replace(train=dc.replace(cfg.train,
+                                               microbatch=args.microbatch))
     steps = args.steps
     batches = [int(b) for b in args.batches.split(",")]
     arrays, size_info = common.load_arrays(max(batches), cfg,

@@ -73,6 +73,10 @@ def parse_args(argv=None):
                    help="MLP/gconv compute dtype (params stay fp32)")
     p.add_argument("--num_data_shards", default=None, type=int,
                    help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--microbatch", default=0, type=int,
+                   help="gradient-accumulation chunk size (0 = off): "
+                        "large per-chip batches run as a scan of "
+                        "microbatch-sized fwd/bwd passes with one update")
     from sln_tpu.utils.cli import (add_reference_compat_flags,
                                    apply_reference_compat_flags)
     add_reference_compat_flags(p)
@@ -103,6 +107,7 @@ def config_from_args(args) -> Config:
             kl_loss_weight=args.KL_loss_weight,
             kl_linear_decay=args.KL_linear_decay,
             kl_free_bits=args.KL_free_bits, seed=args.manual_seed,
+            microbatch=args.microbatch,
             print_every=args.print_every,
             checkpoint_every=args.checkpoint_every,
             snapshot_every=args.snapshot_every,
