@@ -52,6 +52,47 @@ def _fail(name: str, e: Exception) -> None:
 # ---------------------------------------------------------------------------
 # refinement: render-grad steps/sec
 # ---------------------------------------------------------------------------
+def _refine_batch(cfg, B: int, synthetic_seed: int):
+    """First B synthetic rooms as one built SceneBatch (shared scaffolding
+    of the refinement benches)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sln_tpu.data.augment import build_graphs
+    from sln_tpu.workloads import common
+
+    val_arrays, size_info = common.load_arrays(max(B, 8), cfg,
+                                               synthetic_seed=synthetic_seed)
+    return build_graphs(
+        jax.random.PRNGKey(0), jnp.asarray(val_arrays["objs"][:B]),
+        jnp.asarray(val_arrays["boxes"][:B]),
+        jnp.asarray(val_arrays["angles"][:B]),
+        jnp.asarray(val_arrays["obj_mask"][:B]),
+        jnp.asarray(val_arrays["room_ids"][:B]), size_info,
+        max_on_rels=cfg.data.max_on_rels)
+
+
+def _refine_scan(cfg, batch, model, bstats, params, z0):
+    """Bank -> render target -> jitted refinement scan + initial state."""
+    import dataclasses as dc
+    import jax.numpy as jnp
+
+    from sln_tpu.render import assets, scene as scene_lib
+    from sln_tpu.workloads import refine
+
+    bank_host = assets.build_procedural_bank(cfg.render.mesh_subdiv)
+    bank = scene_lib.device_bank(bank_host, cfg.render.shell_subdiv)
+    rcfg = dc.replace(cfg.render, camera=dc.replace(
+        cfg.render.camera, image_size=cfg.refine.render_size))
+    midx, target, size_t, room_row = refine.prepare_refine_inputs(
+        batch, bank_host, bank, rcfg)
+    tx, _, _, run_scan = refine.make_refine_step(
+        model, bstats, batch, midx, bank, target, size_t, room_row, cfg)
+    opt = tx.init((z0, params))
+    state = refine.RefineState(z0, params, opt, jnp.zeros((), jnp.int32))
+    return run_scan, state
+
+
 def bench_refine(num_rooms: int = 1, render_size: int = None,
                  steps: int = 240) -> dict:
     """Refinement render-grad steps/sec (north star: >= 200/s).
@@ -66,10 +107,7 @@ def bench_refine(num_rooms: int = 1, render_size: int = None,
     import jax.numpy as jnp
 
     from sln_tpu.config import DataConfig, default_config
-    from sln_tpu.data.augment import build_graphs
     from sln_tpu.models.vae import Sg2ScVAE
-    from sln_tpu.render import assets, scene as scene_lib
-    from sln_tpu.workloads import common, refine
 
     B = num_rooms
     cfg = default_config().replace(
@@ -77,29 +115,13 @@ def bench_refine(num_rooms: int = 1, render_size: int = None,
     if render_size:
         cfg = cfg.replace(refine=dc.replace(cfg.refine,
                                             render_size=render_size))
-    val_arrays, size_info = common.load_arrays(max(B, 8), cfg,
-                                               synthetic_seed=3)
-    batch = build_graphs(
-        jax.random.PRNGKey(0), jnp.asarray(val_arrays["objs"][:B]),
-        jnp.asarray(val_arrays["boxes"][:B]),
-        jnp.asarray(val_arrays["angles"][:B]),
-        jnp.asarray(val_arrays["obj_mask"][:B]),
-        jnp.asarray(val_arrays["room_ids"][:B]), size_info, max_on_rels=16)
+    batch = _refine_batch(cfg, B, synthetic_seed=3)
     model = Sg2ScVAE(cfg.model)
     variables = model.init(jax.random.PRNGKey(0), batch, None, False)
-    bank_host = assets.build_procedural_bank(cfg.render.mesh_subdiv)
-    bank = scene_lib.device_bank(bank_host, cfg.render.shell_subdiv)
-    rcfg = dc.replace(cfg.render, camera=dc.replace(
-        cfg.render.camera, image_size=cfg.refine.render_size))
-    midx, target, size_t, room_row = refine.prepare_refine_inputs(
-        batch, bank_host, bank, rcfg)
-    tx, step, snap, run_scan = refine.make_refine_step(
-        model, variables.get("batch_stats", {}), batch, midx, bank, target,
-        size_t, room_row, cfg)
     z0 = jnp.zeros((B, batch.max_objects, cfg.model.latent_dim))
-    opt = tx.init((z0, variables["params"]))
-    state = refine.RefineState(z0, variables["params"], opt,
-                               jnp.zeros((), jnp.int32))
+    run_scan, state = _refine_scan(cfg, batch, model,
+                                   variables.get("batch_stats", {}),
+                                   variables["params"], z0)
     keys = jax.random.split(jax.random.PRNGKey(0), steps)
     s2, _ = run_scan(state, keys)
     float(s2.z.sum())                   # compile + warm, true sync
@@ -128,45 +150,25 @@ def bench_refine_iou(num_rooms: int = 8, sigma: float = 1.0) -> dict:
     reference-hyperparameter loop, starting from a sigma-perturbed
     GT-encoded z (the eval_refinement_quality protocol). Uses the
     committed trained checkpoint."""
-    import dataclasses as dc
     import jax
-    import jax.numpy as jnp
 
     from sln_tpu.config import DataConfig, TrainConfig, default_config
-    from sln_tpu.data.augment import build_graphs
     from sln_tpu.models.vae import Sg2ScVAE
-    from sln_tpu.render import assets, scene as scene_lib
     from sln_tpu.workloads import common, refine
 
     B = num_rooms
     cfg = default_config().replace(
         data=DataConfig(max_objects=16, max_triples=48, max_on_rels=16),
         train=TrainConfig(output_dir=ARTIFACT_DIR, checkpoint_name="bench"))
-    val_arrays, size_info = common.load_arrays(max(B, 8), cfg,
-                                               synthetic_seed=11)
-    batch = build_graphs(
-        jax.random.PRNGKey(0), jnp.asarray(val_arrays["objs"][:B]),
-        jnp.asarray(val_arrays["boxes"][:B]),
-        jnp.asarray(val_arrays["angles"][:B]),
-        jnp.asarray(val_arrays["obj_mask"][:B]),
-        jnp.asarray(val_arrays["room_ids"][:B]), size_info, max_on_rels=16)
+    batch = _refine_batch(cfg, B, synthetic_seed=11)
     model, variables = common.restore_model(cfg, example_batch=batch)
     bstats = variables.get("batch_stats", {})
 
     mu, _ = model.apply(variables, batch, False, method=Sg2ScVAE.encode)
     z0 = mu + sigma * jax.random.normal(jax.random.PRNGKey(13), mu.shape)
 
-    bank_host = assets.build_procedural_bank(cfg.render.mesh_subdiv)
-    bank = scene_lib.device_bank(bank_host, cfg.render.shell_subdiv)
-    rcfg = dc.replace(cfg.render, camera=dc.replace(
-        cfg.render.camera, image_size=cfg.refine.render_size))
-    midx, target, size_t, room_row = refine.prepare_refine_inputs(
-        batch, bank_host, bank, rcfg)
-    tx, _, _, run_scan = refine.make_refine_step(
-        model, bstats, batch, midx, bank, target, size_t, room_row, cfg)
-    opt = tx.init((z0, variables["params"]))
-    state = refine.RefineState(z0, variables["params"], opt,
-                               jnp.zeros((), jnp.int32))
+    run_scan, state = _refine_scan(cfg, batch, model, bstats,
+                                   variables["params"], z0)
     keys = jax.random.split(jax.random.PRNGKey(14), cfg.refine.num_iters)
     iou_before = float(refine.decoded_layout_iou(model, bstats, batch,
                                                  z0, variables["params"]))
@@ -255,7 +257,7 @@ def bench_spade_quality(num_rooms: int = 8) -> dict:
     metrics = gan_shade.make_shading_metrics(model)
 
     z = jax.random.normal(jax.random.PRNGKey(3), (num_rooms, model.nz))
-    l1, psnr = metrics(params, segs, target, z)
+    l1, psnr, _ = metrics(params, segs, target, z)
     l1, psnr = float(l1), float(psnr)
     return {"metric": "spade_shading_psnr", "value": round(psnr, 2),
             "unit": "dB vs shading target (L1 %.4f, %d held-out rooms)"

@@ -130,9 +130,11 @@ class TrainConfig:
     kl_free_bits: float = 0.0
     seed: int = 42
     # Gradient accumulation: split each step's batch into microbatch-sized
-    # chunks run through one lax.scan (0 = off). The full-batch mean
-    # gradient is exact; fwd/bwd runs at the chunk shape, which keeps
-    # large per-chip batches at the <=256 fused-pipeline sweet spot
+    # chunks run through one lax.scan (0 = off). Chunk gradients are
+    # weighted by their valid-object counts, so the full-batch mean
+    # gradient is exact at kl_free_bits=0 (with free bits the per-dim
+    # floor applies per chunk); fwd/bwd runs at the chunk shape, which
+    # keeps large per-chip batches at the <=256 fused-pipeline sweet spot
     # (see CLAUDE.md perf notes on batch scaling).
     microbatch: int = 0
     print_every: int = 100

@@ -162,3 +162,33 @@ def default_size_table(num_rooms: int = 512, seed: int = 7):
             median[i] = [np.median(h), np.median(v)]
             avail[i] = True
     return table, median, avail
+
+
+def reference_metadata(table=None, median=None, avail=None):
+    """The three metadata JSON payloads the reference dataset loads by
+    cwd-relative path (data/suncg_dataset.py:30,84-87), fabricated from
+    this repo's vocab and synthetic size table — the one staging recipe
+    shared by the head-to-head baseline runner and the loader-parity
+    tests.
+
+    Returns (valid_types, size_info_many, size_info_30):
+      valid_types     list for metadata/valid_types.json — the vocab
+                      minus the prepended '__room__' (suncg_dataset.py:31)
+      size_info_many  {type: [[_, height_med], volume_med]} (:245,:253)
+      size_info_30    {type: {height_3/7, volume_3/7}} (:270-281)
+    """
+    from sln_tpu.data.vocab import OBJECT_IDX_TO_NAME
+
+    if table is None:
+        table, median, avail = default_size_table()
+    size_many: Dict[str, list] = {}
+    size_30: Dict[str, dict] = {}
+    for i, name in enumerate(OBJECT_IDX_TO_NAME):
+        if not bool(avail[i]):
+            continue
+        h3, h7, v3, v7 = (float(x) for x in table[i])
+        hm, vm = (float(x) for x in median[i])
+        size_many[name] = [[hm, hm], vm]
+        size_30[name] = {"height_3": h3, "height_7": h7,
+                         "volume_3": v3, "volume_7": v7}
+    return list(OBJECT_IDX_TO_NAME[1:]), size_many, size_30

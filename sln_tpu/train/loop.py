@@ -71,10 +71,11 @@ def make_train_step(model: Sg2ScVAE, tx: optax.GradientTransformation,
     --eval_mode_after (train.py:63-65).
 
     cfg.train.microbatch > 0 runs the step as gradient accumulation over
-    batch-chunks of that size (one lax.scan, exact full-batch mean
-    gradient, one optimizer update); the incoming batch size must be a
-    multiple of it. microbatch == 0 or >= batch behaves identically to a
-    single chunk.
+    batch-chunks of that size (one lax.scan, one optimizer update);
+    chunk gradients are weighted by valid-object counts so the full-batch
+    mean gradient is exact at kl_free_bits=0 (per-chunk free-bits floor
+    otherwise). The incoming batch size must be a multiple of it.
+    microbatch == 0 or >= batch behaves identically to a single chunk.
     """
 
     max_on = cfg.data.max_on_rels
@@ -96,7 +97,9 @@ def make_train_step(model: Sg2ScVAE, tx: optax.GradientTransformation,
         kl_w = kl_weight_at(state.step + 1, cfg.train)
 
         def chunk_grads(batch_stats, chunk: RawBatch, idx: jnp.ndarray):
-            """(grads, total, losses, new_stats) for one microbatch."""
+            """(grads, total, losses, new_stats, n_valid) for one
+            microbatch; n_valid is the chunk's valid-object count — the
+            normalizer every vae_losses term uses (losses.py n_valid)."""
             rng_graph, rng_z = jax.random.split(
                 jax.random.fold_in(rng_step, idx))
             batch = build_graphs(rng_graph, chunk.objs, chunk.boxes,
@@ -116,33 +119,42 @@ def make_train_step(model: Sg2ScVAE, tx: optax.GradientTransformation,
 
             (total, (losses, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
-            return grads, total, losses, new_stats
+            n_valid = jnp.maximum(
+                batch.obj_mask.astype(jnp.float32).sum(), 1.0)
+            return grads, total, losses, new_stats, n_valid
 
         def scan_body(carry, chunk_and_idx):
-            batch_stats, grads_acc, total_acc = carry
+            batch_stats, grads_acc, total_acc, n_acc = carry
             chunk, idx = chunk_and_idx
-            grads, total, losses, new_stats = chunk_grads(batch_stats,
-                                                          chunk, idx)
-            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            grads, total, losses, new_stats, n = chunk_grads(batch_stats,
+                                                             chunk, idx)
+            grads_acc = jax.tree.map(lambda a, g: a + n * g,
+                                     grads_acc, grads)
             stats = new_stats if new_stats else batch_stats
-            return (stats, grads_acc, total_acc + total), losses
+            return ((stats, grads_acc, total_acc + n * total, n_acc + n),
+                    jax.tree.map(lambda v: n * v, losses))
 
-        # One pass over k equal microbatches accumulates the exact
-        # full-batch mean gradient (each chunk loss is a mean over mb
-        # scenes) while each fwd/bwd runs at the mb<=256 shape where the
-        # fused pipeline stays inside the VMEM window (CLAUDE.md perf
-        # notes / tools/profile_batch_scaling.py). BN running statistics
-        # thread sequentially through the chunks, exactly as k successive
+        # Every vae_losses term is a masked sum divided by the chunk's
+        # valid-object count, so weighting each chunk's gradient by that
+        # count and dividing by the batch total reproduces the full-batch
+        # mean gradient EXACTLY at kl_free_bits=0 (reference parity); with
+        # free bits the per-dim max() is applied per chunk instead of per
+        # batch — a valid per-chunk free-bits objective. Each fwd/bwd runs
+        # at the mb<=256 shape where the fused pipeline stays inside the
+        # VMEM window (CLAUDE.md perf notes /
+        # tools/profile_batch_scaling.py). BN running statistics thread
+        # sequentially through the chunks, exactly as k successive
         # minibatches would.
         zero_grads = jax.tree.map(
             lambda p: jnp.zeros(p.shape, p.dtype), state.params)
-        (new_stats, grads, total), losses = jax.lax.scan(
+        (new_stats, grads, total, n_total), losses = jax.lax.scan(
             scan_body,
-            (state.batch_stats, zero_grads, jnp.float32(0)),
+            (state.batch_stats, zero_grads, jnp.float32(0),
+             jnp.float32(0)),
             (chunks, jnp.arange(k, dtype=jnp.int32)))
-        grads = jax.tree.map(lambda g: g / k, grads)
-        total = total / k
-        losses = jax.tree.map(lambda v: v.mean(0), losses)
+        grads = jax.tree.map(lambda g: g / n_total, grads)
+        total = total / n_total
+        losses = jax.tree.map(lambda v: v.sum(0) / n_total, losses)
 
         # NaN guard: skip the whole update on non-finite loss
         # (reference train.py:79-81).

@@ -13,14 +13,17 @@ from sln_tpu.train import checkpoint as ckpt_lib
 
 
 def _generator_code_token() -> str:
-    """Short hash of the data-generating sources (synthetic.py +
-    tensorize.py), so the disk cache self-invalidates when either module
-    changes — a (n, seed) key alone would silently serve arrays produced
-    by old code to every test and bench."""
+    """Short hash of the data-generating sources (synthetic.py,
+    tensorize.py, and vocab.py — the transitive dep that defines the
+    object indices tensorize emits), so the disk cache self-invalidates
+    when any of them changes — a (n, seed) key alone would silently serve
+    arrays produced by old code to every test and bench."""
     import hashlib
 
+    from sln_tpu.data import vocab
+
     h = hashlib.sha1()
-    for mod in (synthetic, tensorize):
+    for mod in (synthetic, tensorize, vocab):
         with open(mod.__file__, "rb") as f:
             h.update(f.read())
     return h.hexdigest()[:8]

@@ -182,9 +182,11 @@ def render_spade_inputs(num_rooms: int, cfg: Config, crop: int,
 
 
 def make_shading_metrics(model):
-    """Jitted (params, seg, rgb, z) -> (L1 on [-1,1], PSNR dB on [0,1])
-    for a SPADE generator — the one PSNR definition shared by the
-    trainer's val report and the bench's spade_shading_psnr line."""
+    """Jitted (params, seg, rgb, z) -> (L1 on [-1,1], PSNR dB on [0,1],
+    MSE on [0,1]) for a SPADE generator — the one PSNR definition shared
+    by the trainer's val report and the bench's spade_shading_psnr line.
+    Chunked evals must average the MSE and take one log at the end
+    (mean-of-PSNRs != PSNR-of-mean)."""
     import jax
     import jax.numpy as jnp
 
@@ -193,9 +195,16 @@ def make_shading_metrics(model):
         fake = model.apply({"params": params}, seg, z)
         l1 = jnp.abs(fake - rgb).mean()
         mse = jnp.square((fake - rgb) * 0.5).mean()   # on [0, 1] scale
-        return l1, -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+        return l1, -10.0 * jnp.log10(jnp.maximum(mse, 1e-10)), mse
 
     return metrics
+
+
+def psnr_from_mse(mse: float) -> float:
+    """PSNR (dB) on the [0,1] scale from a (possibly chunk-averaged) MSE."""
+    import math
+
+    return -10.0 * math.log10(max(mse, 1e-10))
 
 
 def load_native_spade_checkpoint(path: str):
@@ -225,10 +234,10 @@ def make_spade_model(cfg: Config, checkpoint_path: Optional[str] = None):
     """Generator + params. Weight sources, in order: an explicit path
     (.pth -> ported reference checkpoint, anything else -> native
     train_spade pickle; a missing explicit path RAISES rather than
-    silently writing noise images), the committed artifacts/spade_gan.ckpt,
-    a latest_net_G_AB.pth under the output dir
-    (testing/test_SPADE_shade.py:9-14), then random init. Pass the
-    sentinel "random" to force random init at cfg dims (hermetic tests)."""
+    silently writing noise images), a user-dropped latest_net_G_AB.pth
+    under the output dir (testing/test_SPADE_shade.py:9-14), the committed
+    artifacts/spade_gan.ckpt, then random init. Pass the sentinel "random"
+    to force random init at cfg dims (hermetic tests)."""
     import jax
 
     import jax.numpy as jnp
@@ -252,9 +261,12 @@ def make_spade_model(cfg: Config, checkpoint_path: Optional[str] = None):
                 f"--spade_checkpoint {checkpoint_path!r} does not exist")
         candidates = [checkpoint_path]
     else:
+        # a user-supplied reference checkpoint under --output_dir (the
+        # migration drop-in, testing/test_SPADE_shade.py:9-14) outranks
+        # the committed artifact, which exists in every checkout
         candidates = [
-            default_spade_checkpoint_path(),
-            os.path.join(cfg.train.output_dir, "latest_net_G_AB.pth")]
+            os.path.join(cfg.train.output_dir, "latest_net_G_AB.pth"),
+            default_spade_checkpoint_path()]
     for path in candidates:
         if not os.path.isfile(path):
             continue
@@ -338,9 +350,11 @@ def resize_spade_input(spade_in: np.ndarray, crop: int) -> np.ndarray:
     if spade_in.shape[0] == crop:
         return spade_in
     import jax
-    out = np.asarray(jax.image.resize(spade_in, (crop, crop,
-                                                 spade_in.shape[-1]),
-                                      method="bilinear"))
+    # np.array (copy): np.asarray of a JAX array is a read-only view and
+    # the mask re-binarization below writes in place
+    out = np.array(jax.image.resize(spade_in, (crop, crop,
+                                               spade_in.shape[-1]),
+                                    method="bilinear"))
     out[..., 1:] = (out[..., 1:] > 0.5).astype(np.float32)
     return out
 

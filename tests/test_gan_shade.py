@@ -43,6 +43,25 @@ def test_run_gan_shade_writes_images(tmp_path):
     assert all(os.path.getsize(tmp_path / f) > 0 for f in pngs)
 
 
+def test_resize_spade_input():
+    """Resize to the model crop (the reference resizes its 1024px Blender
+    reads to 256): depth stays continuous, masks re-binarize — and the
+    output must be writable even when jax.image.resize hands back a
+    read-only view (regression: in-place binarization crashed)."""
+    rng = np.random.default_rng(2)
+    spade_in = np.zeros((64, 64, 41), np.float32)
+    spade_in[..., 0] = rng.uniform(-1, 1, (64, 64))
+    cls = rng.integers(1, 41, (64, 64))
+    idx = np.indices((64, 64))
+    spade_in[idx[0], idx[1], cls] = 1.0
+    out = gan_shade.resize_spade_input(spade_in, 32)
+    assert out.shape == (32, 32, 41)
+    assert set(np.unique(out[..., 1:])) <= {0.0, 1.0}
+    assert out[..., 0].min() >= -1.0 and out[..., 0].max() <= 1.0
+    # identity when already at crop size
+    assert gan_shade.resize_spade_input(spade_in, 64) is spade_in
+
+
 def test_shading_target_properties():
     """Deterministic target: right shape/range, albedo = class palette
     where flat, darker when farther, batch == per-image."""

@@ -21,7 +21,8 @@ import sys
 import numpy as np
 import pytest
 
-from sln_tpu.data.synthetic import default_size_table, generate_rooms
+from sln_tpu.data.synthetic import (default_size_table, generate_rooms,
+                                    reference_metadata)
 from sln_tpu.data.tensorize import tensorize_file, tensorize_rooms
 from sln_tpu.data.vocab import (ATTR_IDX_TO_NAME, OBJECT_IDX_TO_NAME,
                                 PRED_IDX_TO_NAME, ROOM_IDX)
@@ -49,18 +50,11 @@ def staged(tmp_path_factory):
 
     meta = stage / "metadata"
     meta.mkdir()
-    (meta / "valid_types.json").write_text(
-        json.dumps(list(OBJECT_IDX_TO_NAME[1:])))
+    # one staging recipe shared with tools/run_reference_baseline.py
     table, median, avail = default_size_table()
-    size_many, size_30 = {}, {}
-    for i, name in enumerate(OBJECT_IDX_TO_NAME):
-        if not bool(avail[i]):
-            continue
-        h3, h7, v3, v7 = (float(x) for x in table[i])
-        hm, vm = (float(x) for x in median[i])
-        size_many[name] = [[hm, hm], vm]
-        size_30[name] = {"height_3": h3, "height_7": h7,
-                         "volume_3": v3, "volume_7": v7}
+    valid_types, size_many, size_30 = reference_metadata(table, median,
+                                                         avail)
+    (meta / "valid_types.json").write_text(json.dumps(valid_types))
     (meta / "size_info_many.json").write_text(json.dumps(size_many))
     (meta / "30_size_info_many.json").write_text(json.dumps(size_30))
     return stage, rooms, table, avail

@@ -99,7 +99,9 @@ def test_microbatch_accumulation_matches_manual_loop():
     """cfg.train.microbatch runs the step as a scan of chunk fwd/bwd with
     one update. Replicate it by hand through the public pieces — per-chunk
     rng = fold_in(fold_in(rng, step), idx), BN stats threaded chunk to
-    chunk, mean gradient, one Adam update. Losses/stats must agree to fp
+    chunk, chunk grads weighted by valid-object counts (the vae_losses
+    normalizer, so the combined gradient equals the full-batch mean at
+    kl_free_bits=0), one Adam update. Losses/stats must agree to fp
     noise; params to ~2*lr (Adam normalizes near-zero grads to +-lr steps,
     so jit-vs-eager reduction-order noise can flip a step — same bound as
     the SPMD equality test)."""
@@ -126,7 +128,7 @@ def test_microbatch_accumulation_matches_manual_loop():
     rng_step = jax.random.fold_in(rng, state.step)
     kl_w = train_loop.kl_weight_at(state.step + 1, cfg_mb.train)
     stats = state.batch_stats
-    grads_sum, totals = None, []
+    grads_sum, totals, counts = None, [], []
     for i in range(2):
         chunk = jax.tree.map(lambda a: a[i * mb:(i + 1) * mb], raw)
         rng_graph, rng_z = jax.random.split(
@@ -134,6 +136,7 @@ def test_microbatch_accumulation_matches_manual_loop():
         batch = build_graphs(rng_graph, chunk.objs, chunk.boxes,
                              chunk.angles, chunk.obj_mask, chunk.room_ids,
                              size_info, max_on_rels=cfg.data.max_on_rels)
+        n = jnp.maximum(batch.obj_mask.astype(jnp.float32).sum(), 1.0)
 
         def loss_fn(params, batch=batch, rng_z=rng_z, stats=stats):
             (mu, logvar, bp, alp), mut = model.apply(
@@ -146,15 +149,21 @@ def test_microbatch_accumulation_matches_manual_loop():
         (total, stats), g = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         totals.append(total)
+        counts.append(n)
+        g = jax.tree.map(lambda x: n * x, g)
         grads_sum = g if grads_sum is None else jax.tree.map(
             jnp.add, grads_sum, g)
-    grads = jax.tree.map(lambda g: g / 2, grads_sum)
+    n_total = counts[0] + counts[1]
+    assert float(counts[0]) != float(counts[1]), \
+        "fixture too uniform to exercise the valid-count weighting"
+    grads = jax.tree.map(lambda g: g / n_total, grads_sum)
     updates, _ = tx.update(grads, state.opt_state, state.params)
     expect_params = optax.apply_updates(state.params, updates)
 
     np.testing.assert_allclose(
         np.asarray(l_mb["total_loss"]),
-        np.asarray((totals[0] + totals[1]) / 2), rtol=1e-5)
+        np.asarray((counts[0] * totals[0] + counts[1] * totals[1])
+                   / n_total), rtol=1e-5)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=0, atol=2.5e-3),
         s_mb.params, expect_params)

@@ -195,17 +195,21 @@ def main(argv=None):
     val_rgbs_d = jnp.asarray(val_rgbs) if n_val else None
 
     def run_eval(g_params):
-        """Chunked over the val set (val batches can exceed train B)."""
-        l1s, psnrs = [], []
+        """Chunked over the val set (val batches can exceed train B).
+        Accumulates MSE and takes ONE log at the end, so the reported
+        PSNR equals the bench's one-shot computation over the same rooms
+        (mean-of-PSNRs would be biased high)."""
+        l1s, mses = [], []
         for s in range(0, n_val, B):
             seg = val_segs_d[s:s + B]
             z = jax.random.normal(jax.random.PRNGKey(7 + s),
                                   (seg.shape[0], args.nz))
-            l1, psnr = val_metrics(g_params, seg,
-                                   val_rgbs_d[s:s + B], z)
+            l1, _, mse = val_metrics(g_params, seg,
+                                     val_rgbs_d[s:s + B], z)
             l1s.append(float(l1) * seg.shape[0])
-            psnrs.append(float(psnr) * seg.shape[0])
-        return sum(l1s) / n_val, sum(psnrs) / n_val
+            mses.append(float(mse) * seg.shape[0])
+        from sln_tpu.workloads.gan_shade import psnr_from_mse
+        return sum(l1s) / n_val, psnr_from_mse(sum(mses) / n_val)
 
     def save(state, t, extra):
         os.makedirs(args.output_dir, exist_ok=True)
