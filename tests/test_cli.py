@@ -71,6 +71,17 @@ def test_test_cli_accepts_all_reference_flags_and_modes():
         assert getattr(args, mode.lstrip("-")) is True
 
 
+def test_train_microbatch_flows_into_config():
+    args = train_cli.parse_args(["--batch_size", "1024",
+                                 "--microbatch", "256"])
+    cfg = train_cli.config_from_args(args)
+    assert cfg.train.microbatch == 256
+    assert cfg.train.batch_size == 1024
+    # and off by default
+    cfg0 = train_cli.config_from_args(train_cli.parse_args([]))
+    assert cfg0.train.microbatch == 0
+
+
 def test_model_flags_flow_into_config():
     args = test_cli.parse_args(["--embedding_dim", "32",
                                 "--gconv_num_layers", "3",
