@@ -188,15 +188,19 @@ def bench_refine_iou(num_rooms: int = 8, sigma: float = 1.0) -> dict:
 # ---------------------------------------------------------------------------
 # SPADE shading: 256px imgs/sec
 # ---------------------------------------------------------------------------
-def bench_spade(batch: int = 10, steps: int = 10) -> dict:
+def bench_spade(batch: int = 10, steps: int = 10,
+                compute_dtype: str = "") -> dict:
     """SPADEGenerator4 at full reference size (ngf=64, 256px, z-batches
     of `batch` like colorize's z_chunk), loading the committed trained
     shading checkpoint (artifacts/spade_gan.ckpt) via make_spade_model's
     default chain. Tracked metric (no fixed floor, BASELINE.md). The
     timed region is one scanned device program with a fetched checksum
-    (see bench_layouts for why). The generator is HBM-bandwidth-bound at
-    ~80% of the v5e roofline (bf16 compute only buys 165 -> 192 imgs/s —
-    see SpadeConfig.compute_dtype)."""
+    (see bench_layouts for why). The generator is HBM-bandwidth-bound
+    (~80% of the v5e roofline at fp32); compute_dtype='bfloat16' stores
+    the serving weights in bf16 too, halving the weight HBM traffic
+    (SpadeConfig.compute_dtype)."""
+    import dataclasses as dc
+
     import jax
     import jax.numpy as jnp
 
@@ -204,6 +208,9 @@ def bench_spade(batch: int = 10, steps: int = 10) -> dict:
     from sln_tpu.workloads.gan_shade import make_spade_model
 
     cfg = default_config()
+    if compute_dtype:
+        cfg = cfg.replace(spade=dc.replace(cfg.spade,
+                                           compute_dtype=compute_dtype))
     model, params = make_spade_model(cfg)
     seg = jnp.zeros((batch, model.crop_size, model.crop_size,
                      cfg.spade.semantic_nc), jnp.float32)
@@ -230,8 +237,9 @@ def bench_spade(batch: int = 10, steps: int = 10) -> dict:
         t0 = time.perf_counter()
         float(run(params, seg, zs * (1.0 + 1e-4 * (w + 1))))
         rate = max(rate, steps * batch / (time.perf_counter() - t0))
-    return {"metric": "spade_imgs_per_sec_256px", "value": round(rate, 1),
-            "unit": "imgs/s", "vs_baseline": None}
+    suffix = "_bf16" if compute_dtype == "bfloat16" else ""
+    return {"metric": f"spade_imgs_per_sec_256px{suffix}",
+            "value": round(rate, 1), "unit": "imgs/s", "vs_baseline": None}
 
 
 def bench_spade_quality(num_rooms: int = 8) -> dict:
@@ -461,6 +469,8 @@ def _run_only(name: str) -> None:
         _emit(bench_refine_iou())
     elif name == "spade_256px":
         _emit(bench_spade())
+    elif name == "spade_256px_bf16":
+        _emit(bench_spade(compute_dtype="bfloat16"))
     elif name == "spade_quality":
         _emit(bench_spade_quality())
     elif name == "train":
@@ -489,9 +499,10 @@ def _run_only(name: str) -> None:
 # behind by the refine programs costs the big-conv generator ~4x (68 vs
 # ~260 imgs/s measured clean); the layouts headline runs last (it is
 # insensitive to prior state and the driver parses the final line).
-ORDER = ("spade_256px", "spade_quality", "refine_96px", "refine_batched",
-         "refine_256px", "refine_batched_256px", "refine_iou", "train",
-         "train_bf16", "train_accum", "quality", "layouts")
+ORDER = ("spade_256px", "spade_256px_bf16", "spade_quality", "refine_96px",
+         "refine_batched", "refine_256px", "refine_batched_256px",
+         "refine_iou", "train", "train_bf16", "train_accum", "quality",
+         "layouts")
 
 
 def main():

@@ -220,9 +220,12 @@ class SpadeConfig:
     crop_size: int = 256
     n_up: str = "normal"
     num_z: int = 50                   # test.py:94
-    # conv compute dtype for inference shading ("float32" | "bfloat16");
-    # params stay fp32 either way. bfloat16 runs the MXU at full rate
-    # (~3x the fp32 3-pass decomposition) at ~1e-2 output tolerance.
+    # conv compute dtype for inference shading ("float32" | "bfloat16").
+    # bfloat16 runs the MXU at full rate (~3x the fp32 3-pass
+    # decomposition) at ~1e-2 output tolerance, and make_spade_model then
+    # also STORES the serving weights in bf16 — bit-identical output
+    # (flax casts fp32 params to the module dtype per call anyway) while
+    # halving the weight HBM traffic of the bandwidth-bound generator.
     compute_dtype: str = "float32"
 
 

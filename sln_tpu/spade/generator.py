@@ -37,7 +37,10 @@ class SPADEGenerator4(nn.Module):
         num_up = {"normal": 5, "more": 6, "most": 7}[self.n_up]
         sw = self.crop_size // (2 ** num_up)
 
-        x = nn.Dense(16 * nf * sw * sw, name="fc")(z)
+        # dtype plumbed so bf16 mode is uniform end-to-end: serving can
+        # then store the (large, 256 x 16nf*sw^2) fc weights in bf16 with
+        # bit-identical output (make_spade_model)
+        x = nn.Dense(16 * nf * sw * sw, dtype=self.dtype, name="fc")(z)
         # torch reshapes NCHW: (B, 16nf, sh, sw) -> NHWC transpose
         x = x.reshape(-1, 16 * nf, sw, sw).transpose(0, 2, 3, 1)
         x = x.astype(self.dtype)                 # residual stream dtype

@@ -250,6 +250,25 @@ def make_spade_model(cfg: Config, checkpoint_path: Optional[str] = None):
                                crop_size=crop, n_up=sp.n_up,
                                dtype=jnp.dtype(sp.compute_dtype))
 
+    def finish(model, params):
+        """Store serving params in the compute dtype. Layers that run in
+        the module dtype cast their fp32 params per call anyway, so
+        bf16-stored weights are bit-identical in output while halving the
+        weight HBM traffic of the bandwidth-bound generator. The SE
+        squeeze-excite Dense layers intentionally compute in fp32 (no
+        dtype plumbed) — their params stay fp32 so the bf16 mode's
+        numerics are unchanged (they are ~0.003% of the bytes)."""
+        if jnp.dtype(sp.compute_dtype) == jnp.bfloat16:
+            import flax
+
+            flat = flax.traverse_util.flatten_dict(params)
+            flat = {k: (v if "se" in k or
+                        jnp.asarray(v).dtype != jnp.float32
+                        else v.astype(jnp.bfloat16))
+                    for k, v in flat.items()}
+            params = flax.traverse_util.unflatten_dict(flat)
+        return model, params
+
     model = build(sp.ngf, sp.nz, sp.crop_size)
     if checkpoint_path == "random":
         candidates = []
@@ -281,14 +300,14 @@ def make_spade_model(cfg: Config, checkpoint_path: Optional[str] = None):
             model = build(ck.get("ngf", sp.ngf), ck.get("nz", sp.nz),
                           ck.get("crop", sp.crop_size))
             print(f"Loaded SPADE weights from {path}")
-        return model, params
+        return finish(model, params)
     if checkpoint_path != "random":
         print(f"WARNING: no SPADE checkpoint at {candidates}; random init")
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, sp.crop_size, sp.crop_size,
                                    sp.semantic_nc)),
                         jnp.zeros((1, sp.nz)))["params"]
-    return model, params
+    return finish(model, params)
 
 
 def colorize(model, params, spade_input: np.ndarray, num_z: int,

@@ -127,6 +127,35 @@ def test_native_checkpoint_roundtrip(tmp_path):
                                atol=2e-2)
 
 
+def test_bf16_param_storage_is_bit_identical():
+    """compute_dtype='bfloat16' stores serving weights in bf16
+    (make_spade_model): module-dtype layers cast fp32 params to bf16 per
+    call anyway, so pre-cast storage must change nothing but HBM traffic.
+    The SE Dense layers compute in fp32 and keep fp32 params."""
+    import flax
+
+    from sln_tpu.spade.generator import SPADEGenerator4
+
+    gen = SPADEGenerator4(ngf=4, nz=8, crop_size=32, dtype=jnp.bfloat16)
+    seg = jnp.asarray(np.random.default_rng(3).uniform(
+        0, 1, (2, 32, 32, 41)).astype(np.float32))
+    z = jax.random.normal(jax.random.PRNGKey(4), (2, 8))
+    p32 = gen.init(jax.random.PRNGKey(0), seg, z)["params"]
+    assert jax.tree.leaves(p32)[0].dtype == jnp.float32
+
+    cfg = default_config().replace(
+        spade=SpadeConfig(crop_size=32, ngf=4, nz=8,
+                          compute_dtype="bfloat16"))
+    _, p16 = gan_shade.make_spade_model(cfg, "random")   # same init seed
+    flat16 = flax.traverse_util.flatten_dict(p16)
+    assert all(v.dtype == (jnp.float32 if "se" in k else jnp.bfloat16)
+               for k, v in flat16.items())
+
+    out32 = np.asarray(gen.apply({"params": p32}, seg, z))
+    out16 = np.asarray(gen.apply({"params": p16}, seg, z))
+    np.testing.assert_array_equal(out32, out16)
+
+
 def test_colorize_sharded_matches_single_device():
     """z-sharded multi-chip colorize == single-device (8 CPU devices)."""
     from sln_tpu.parallel import mesh as meshlib
