@@ -69,6 +69,12 @@ def parse_args(argv=None):
                    help="SPADE render size (reference: 256)")
     p.add_argument("--spade_ngf", default=64, type=int,
                    help="SPADE width (reference: 64)")
+    p.add_argument("--spade_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="SPADE shading compute dtype; bfloat16 also "
+                        "stores the serving weights in bf16 "
+                        "(bit-identical output, ~half the HBM weight "
+                        "traffic of the bandwidth-bound generator)")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="VAE MLP/gconv compute dtype (params stay fp32)")
@@ -125,7 +131,8 @@ def build_cfg(args):
         train=TrainConfig(output_dir=args.output_dir,
                           checkpoint_name=args.checkpoint_name),
         spade=SpadeConfig(crop_size=args.spade_crop, ngf=args.spade_ngf,
-                          num_z=args.num_z),
+                          num_z=args.num_z,
+                          compute_dtype=args.spade_dtype),
         test_dir=args.test_dir)
 
 
