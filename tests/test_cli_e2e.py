@@ -1,0 +1,75 @@
+"""End-to-end smoke of the test.py CLI glue (tiny dims, CPU).
+
+The workload functions have their own tests; this drives the reference's
+actual user entry point (test.py modes, reference test.py:28-95) through
+main(argv) and asserts the artifact contract: batch_gen ->
+measure_acc_l1_std -> heat_map -> draw_2d -> draw_3d all write their files
+into one shared --test_dir, heat_map/measure reusing batch_gen's cached
+posterior exactly like the reference chain.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import test as test_cli
+
+COMMON = ["--synthetic", "16", "--max_objects", "12", "--batch_size", "8",
+          "--allow_random_weights"]
+
+
+@pytest.fixture(scope="module")
+def test_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_e2e")
+    return str(d)
+
+
+def test_batch_gen_mode(test_dir, capsys):
+    test_cli.main(COMMON + ["--test_dir", test_dir, "--batch_gen"])
+    assert os.path.isfile(os.path.join(test_dir, "mean_cov.pkl"))
+    extracted = os.path.join(test_dir, "data", "data_extracted.json")
+    assert os.path.isfile(extracted)
+    with open(extracted) as f:
+        layouts = json.load(f)
+    assert layouts, "batch_gen wrote an empty layout dump"
+
+
+def test_measure_mode_prints_reference_lines(test_dir, capsys):
+    test_cli.main(COMMON + ["--test_dir", test_dir,
+                            "--measure_acc_l1_std"])
+    out = capsys.readouterr().out
+    # the reference eval's print contract (testing/test_acc_mean_std.py)
+    assert "PRED, RAND, PERT L1:" in out
+    assert "PRED, RAND, PERT ACC:" in out
+    assert "mean pos std:" in out
+    l1 = [float(x) for x in
+          out.split("PRED, RAND, PERT L1:")[1].splitlines()[0].split()]
+    assert all(np.isfinite(l1)) and len(l1) == 3
+
+
+def test_heat_map_mode(test_dir):
+    test_cli.main(COMMON + ["--test_dir", test_dir, "--heat_map",
+                            "--heatmap_iters", "32"])
+    heat_dir = os.path.join(test_dir, "data", "heat")
+    pkls = [f for f in os.listdir(heat_dir) if f.endswith("_heat.pkl")]
+    pngs = [f for f in os.listdir(heat_dir) if f.endswith(".png")]
+    assert pkls and pngs
+
+
+def test_draw_2d_mode(test_dir):
+    test_cli.main(COMMON + ["--test_dir", test_dir, "--draw_2d"])
+    demo = os.path.join(test_dir, "data", "2D_rendered", "demo.png")
+    assert os.path.getsize(demo) > 0
+
+
+def test_draw_3d_preview_mode(test_dir):
+    """No blender binary in this image: --renderer preview renders the
+    batch_gen layouts through the rasterizer to the Blender path's
+    artifact names."""
+    test_cli.main(COMMON + ["--test_dir", test_dir, "--draw_3d",
+                            "--renderer", "preview"])
+    out = os.path.join(test_dir, "data", "rendered")
+    pngs = [f for f in os.listdir(out) if f.endswith(".png")]
+    assert pngs, "preview renderer wrote no images"
