@@ -64,6 +64,31 @@ def test_draw_2d_mode(test_dir):
     assert os.path.getsize(demo) > 0
 
 
+def test_train_cli_smoke_with_microbatch(tmp_path, capsys):
+    """train.py glue end-to-end at tiny dims: trains a few iterations
+    with --microbatch (gradient accumulation through the CLI), writes the
+    checkpoint trio, and restores from it on a second invocation."""
+    import train as train_cli
+
+    out = str(tmp_path / "ckpts")
+    argv = ["--synthetic", "16", "--max_objects", "12",
+            "--batch_size", "8", "--microbatch", "4",
+            "--num_iterations", "4", "--print_every", "2",
+            "--checkpoint_every", "2", "--snapshot_every", "4",
+            "--output_dir", out]
+    train_cli.main(argv)
+    text = capsys.readouterr().out
+    assert "done" in text and "[total_loss]" in text
+    names = os.listdir(out)
+    assert any(n.startswith("latest_checkpoint") and n.endswith(".ckpt")
+               for n in names), names
+    assert any("snapshot" in n for n in names), names
+    assert "metrics.jsonl" in names
+
+    train_cli.main(argv + ["--restore_from_checkpoint", "1"])
+    assert "Restoring from checkpoint" in capsys.readouterr().out
+
+
 def test_draw_3d_preview_mode(test_dir):
     """No blender binary in this image: --renderer preview renders the
     batch_gen layouts through the rasterizer to the Blender path's
