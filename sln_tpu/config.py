@@ -131,11 +131,12 @@ class TrainConfig:
     seed: int = 42
     # Gradient accumulation: split each step's batch into microbatch-sized
     # chunks run through one lax.scan (0 = off). Chunk gradients are
-    # weighted by their valid-object counts, so the full-batch mean
-    # gradient is exact at kl_free_bits=0 (with free bits the per-dim
-    # floor applies per chunk); fwd/bwd runs at the chunk shape, which
-    # keeps large per-chip batches at the <=256 fused-pipeline sweet spot
-    # (see CLAUDE.md perf notes on batch scaling).
+    # weighted by their valid-object counts (exact loss normalization
+    # across unequal chunks); the usual accumulation semantics apply —
+    # train-mode BN normalizes per chunk, free-bits floors per chunk
+    # (loop.py make_train_step docstring). fwd/bwd runs at the chunk
+    # shape, which keeps large per-chip batches at the <=256
+    # fused-pipeline sweet spot (see CLAUDE.md perf notes).
     microbatch: int = 0
     print_every: int = 100
     checkpoint_every: int = 1000

@@ -179,7 +179,8 @@ def reference_metadata(table=None, median=None, avail=None):
     """
     from sln_tpu.data.vocab import OBJECT_IDX_TO_NAME
 
-    if table is None:
+    if table is None or median is None or avail is None:
+        # jointly required: a partial override would silently mix tables
         table, median, avail = default_size_table()
     size_many: Dict[str, list] = {}
     size_30: Dict[str, dict] = {}

@@ -72,10 +72,16 @@ def make_train_step(model: Sg2ScVAE, tx: optax.GradientTransformation,
 
     cfg.train.microbatch > 0 runs the step as gradient accumulation over
     batch-chunks of that size (one lax.scan, one optimizer update);
-    chunk gradients are weighted by valid-object counts so the full-batch
-    mean gradient is exact at kl_free_bits=0 (per-chunk free-bits floor
-    otherwise). The incoming batch size must be a multiple of it.
-    microbatch == 0 or >= batch behaves identically to a single chunk.
+    chunk gradients are weighted by valid-object counts, which makes the
+    vae_losses normalization exact across unequal chunks. The remaining
+    deviations from the unchunked step are the standard gradient-
+    accumulation semantics: train-mode BatchNorm normalizes each chunk by
+    its own batch statistics (with eval_mode=True / frozen BN and
+    kl_free_bits=0 the full-batch mean gradient is exactly reproduced),
+    and the free-bits per-dim floor applies per chunk. The incoming batch
+    size must be a multiple of microbatch. microbatch == 0 or >= batch is
+    the unchunked fast path (identical numerics and rng stream to the
+    pre-microbatch implementation).
     """
 
     max_on = cfg.data.max_on_rels
@@ -91,17 +97,12 @@ def make_train_step(model: Sg2ScVAE, tx: optax.GradientTransformation,
             raise ValueError(f"batch size {B} is not divisible by "
                              f"train.microbatch {mb}")
         k = B // mb
-        chunks = jax.tree.map(
-            lambda a: a.reshape((k, mb) + a.shape[1:]), raw)
-        rng_step = jax.random.fold_in(rng, state.step)
         kl_w = kl_weight_at(state.step + 1, cfg.train)
 
-        def chunk_grads(batch_stats, chunk: RawBatch, idx: jnp.ndarray):
+        def chunk_grads(batch_stats, chunk: RawBatch, rng_graph, rng_z):
             """(grads, total, losses, new_stats, n_valid) for one
             microbatch; n_valid is the chunk's valid-object count — the
             normalizer every vae_losses term uses (losses.py n_valid)."""
-            rng_graph, rng_z = jax.random.split(
-                jax.random.fold_in(rng_step, idx))
             batch = build_graphs(rng_graph, chunk.objs, chunk.boxes,
                                  chunk.angles, chunk.obj_mask,
                                  chunk.room_ids, size_info,
@@ -123,38 +124,54 @@ def make_train_step(model: Sg2ScVAE, tx: optax.GradientTransformation,
                 batch.obj_mask.astype(jnp.float32).sum(), 1.0)
             return grads, total, losses, new_stats, n_valid
 
-        def scan_body(carry, chunk_and_idx):
-            batch_stats, grads_acc, total_acc, n_acc = carry
-            chunk, idx = chunk_and_idx
-            grads, total, losses, new_stats, n = chunk_grads(batch_stats,
-                                                             chunk, idx)
-            grads_acc = jax.tree.map(lambda a, g: a + n * g,
-                                     grads_acc, grads)
-            stats = new_stats if new_stats else batch_stats
-            return ((stats, grads_acc, total_acc + n * total, n_acc + n),
-                    jax.tree.map(lambda v: n * v, losses))
+        if k == 1:
+            # unchunked fast path: no scan, no accumulator tree, and the
+            # pre-microbatch rng stream (split(fold_in(rng, step))) so
+            # default-config training stays bit-reproducible against
+            # recorded runs
+            rng_graph, rng_z = jax.random.split(
+                jax.random.fold_in(rng, state.step))
+            grads, total, losses, new_stats, _ = chunk_grads(
+                state.batch_stats, raw, rng_graph, rng_z)
+        else:
+            chunks = jax.tree.map(
+                lambda a: a.reshape((k, mb) + a.shape[1:]), raw)
+            rng_step = jax.random.fold_in(rng, state.step)
 
-        # Every vae_losses term is a masked sum divided by the chunk's
-        # valid-object count, so weighting each chunk's gradient by that
-        # count and dividing by the batch total reproduces the full-batch
-        # mean gradient EXACTLY at kl_free_bits=0 (reference parity); with
-        # free bits the per-dim max() is applied per chunk instead of per
-        # batch — a valid per-chunk free-bits objective. Each fwd/bwd runs
-        # at the mb<=256 shape where the fused pipeline stays inside the
-        # VMEM window (CLAUDE.md perf notes /
-        # tools/profile_batch_scaling.py). BN running statistics thread
-        # sequentially through the chunks, exactly as k successive
-        # minibatches would.
-        zero_grads = jax.tree.map(
-            lambda p: jnp.zeros(p.shape, p.dtype), state.params)
-        (new_stats, grads, total, n_total), losses = jax.lax.scan(
-            scan_body,
-            (state.batch_stats, zero_grads, jnp.float32(0),
-             jnp.float32(0)),
-            (chunks, jnp.arange(k, dtype=jnp.int32)))
-        grads = jax.tree.map(lambda g: g / n_total, grads)
-        total = total / n_total
-        losses = jax.tree.map(lambda v: v.sum(0) / n_total, losses)
+            def scan_body(carry, chunk_and_idx):
+                batch_stats, grads_acc, total_acc, n_acc = carry
+                chunk, idx = chunk_and_idx
+                rng_graph, rng_z = jax.random.split(
+                    jax.random.fold_in(rng_step, idx))
+                grads, total, losses, new_stats, n = chunk_grads(
+                    batch_stats, chunk, rng_graph, rng_z)
+                grads_acc = jax.tree.map(lambda a, g: a + n * g,
+                                         grads_acc, grads)
+                stats = new_stats if new_stats else batch_stats
+                return ((stats, grads_acc, total_acc + n * total,
+                         n_acc + n),
+                        jax.tree.map(lambda v: n * v, losses))
+
+            # Every vae_losses term is a masked sum divided by the
+            # chunk's valid-object count, so weighting each chunk's
+            # gradient by that count and dividing by the batch total
+            # makes the loss normalization exact across unequal chunks
+            # (see the docstring for the BN/free-bits accumulation
+            # semantics). Each fwd/bwd runs at the mb<=256 shape where
+            # the fused pipeline stays inside the VMEM window (CLAUDE.md
+            # perf notes / tools/profile_batch_scaling.py). BN running
+            # statistics thread sequentially through the chunks, exactly
+            # as k successive minibatches would.
+            zero_grads = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, p.dtype), state.params)
+            (new_stats, grads, total, n_total), losses = jax.lax.scan(
+                scan_body,
+                (state.batch_stats, zero_grads, jnp.float32(0),
+                 jnp.float32(0)),
+                (chunks, jnp.arange(k, dtype=jnp.int32)))
+            grads = jax.tree.map(lambda g: g / n_total, grads)
+            total = total / n_total
+            losses = jax.tree.map(lambda v: v.sum(0) / n_total, losses)
 
         # NaN guard: skip the whole update on non-finite loss
         # (reference train.py:79-81).

@@ -100,10 +100,11 @@ def test_microbatch_accumulation_matches_manual_loop():
     one update. Replicate it by hand through the public pieces — per-chunk
     rng = fold_in(fold_in(rng, step), idx), BN stats threaded chunk to
     chunk, chunk grads weighted by valid-object counts (the vae_losses
-    normalizer, so the combined gradient equals the full-batch mean at
-    kl_free_bits=0), one Adam update. Losses/stats must agree to fp
-    noise; params to ~2*lr (Adam normalizes near-zero grads to +-lr steps,
-    so jit-vs-eager reduction-order noise can flip a step — same bound as
+    normalizer, so the loss normalization is exact across unequal chunks;
+    train-mode BN still normalizes per chunk — standard accumulation
+    semantics), one Adam update. Losses/stats must agree to fp noise;
+    params to ~2*lr (Adam normalizes near-zero grads to +-lr steps, so
+    jit-vs-eager reduction-order noise can flip a step — same bound as
     the SPMD equality test)."""
     import dataclasses as dc
 
@@ -189,6 +190,30 @@ def test_microbatch_indivisible_batch_raises():
     step = train_loop.make_train_step(model, tx, cfg, size_info)
     with pytest.raises(ValueError, match="not divisible"):
         step(state, raw, jax.random.PRNGKey(0))
+
+
+def test_microbatch_at_batch_size_is_the_fast_path():
+    """microbatch >= batch must route to the unchunked fast path:
+    bit-identical to microbatch=0 (same program, same rng stream)."""
+    import dataclasses as dc
+
+    cfg, arrays, size_info, example = _setup(batch_size=8, num_rooms=8)
+    raw = next(train_loop.batches_from_arrays(
+        arrays, 8, np.random.default_rng(0)))
+    rng = jax.random.PRNGKey(5)
+    results = []
+    for mb in (0, 8):
+        cfg_i = cfg.replace(train=dc.replace(cfg.train, microbatch=mb))
+        model, state, tx = train_loop.create_state(
+            cfg_i, jax.random.PRNGKey(1), example)
+        step = train_loop.make_train_step(model, tx, cfg_i, size_info)
+        results.append(step(state, raw, rng))
+    (s0, l0), (s1, l1) = results
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), s0.params, s1.params)
+    for key in l0:
+        np.testing.assert_array_equal(np.asarray(l0[key]),
+                                      np.asarray(l1[key]))
 
 
 def test_train_step_deterministic():
