@@ -525,6 +525,23 @@ def main():
         _run_only(opts.only)
         return
 
+    # Fail fast if the TPU tunnel is down: jax device enumeration HANGS
+    # (not errors) when the axon relay is dead, which would hang the
+    # whole bench run. Probe in a bounded subprocess first
+    # (SLN_TPU_SKIP_PROBE=1 skips, e.g. for CPU-forced smoke runs).
+    if not os.environ.get("SLN_TPU_SKIP_PROBE"):
+        try:
+            ok = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=180, capture_output=True).returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            print("bench: TPU device probe failed (tunnel down?); "
+                  "exiting instead of hanging", file=sys.stderr,
+                  flush=True)
+            sys.exit(1)
+
     names = ("layouts",) if opts.quick else ORDER
     here = os.path.abspath(__file__)
     for name in names:
