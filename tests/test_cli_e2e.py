@@ -64,6 +64,23 @@ def test_draw_2d_mode(test_dir):
     assert os.path.getsize(demo) > 0
 
 
+def test_gan_shade_mode(test_dir):
+    """CLI glue for --gan_shade at tiny dims ('random' sentinel keeps it
+    hermetic; --spade_crop/--spade_ngf size the generator). --fine_tune is
+    exercised through tests/test_refine.py instead — its CLI path compiles
+    the full 96px refinement loop, too slow for a CPU smoke."""
+    test_cli.main(COMMON + ["--test_dir", test_dir, "--gan_shade",
+                            "--spade_checkpoint", "random",
+                            "--spade_crop", "64", "--spade_ngf", "8",
+                            "--num_z", "2"])
+    out = os.path.join(test_dir, "data", "SPADE_out")
+    pngs = [f for f in os.listdir(out) if f.endswith("_color.png")]
+    assert pngs, "gan_shade wrote no colorizations"
+    # exactly --num_z colorizations per rendered room
+    rooms = {f.split("_")[0] for f in pngs}
+    assert len(pngs) == 2 * len(rooms), pngs
+
+
 def test_train_cli_smoke_with_microbatch(tmp_path, capsys):
     """train.py glue end-to-end at tiny dims: trains a few iterations
     with --microbatch (gradient accumulation through the CLI), writes the
