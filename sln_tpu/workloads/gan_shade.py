@@ -295,10 +295,26 @@ def make_spade_model(cfg: Config, checkpoint_path: Optional[str] = None):
             print(f"Ported SPADE weights from {path}")
         else:
             params, ck = load_native_spade_checkpoint(path)
-            # the checkpoint's trained dims win over cfg.spade defaults
-            # (a ckpt trained at --ngf 32 must not meet an ngf=64 model)
-            model = build(ck.get("ngf", sp.ngf), ck.get("nz", sp.nz),
-                          ck.get("crop", sp.crop_size))
+            ck_ngf = ck.get("ngf", sp.ngf)
+            ck_crop = ck.get("crop", sp.crop_size)
+            if not checkpoint_path and (ck_ngf, ck_crop) != (sp.ngf,
+                                                             sp.crop_size):
+                # A default-candidate checkpoint (the committed artifact
+                # exists in every checkout) must not silently override the
+                # requested sizing: --spade_crop/--spade_ngf are the
+                # documented fallback for tunnel programs too large to
+                # compile, so honoring the flags matters more than loading
+                # weights here. An EXPLICIT --spade_checkpoint still wins
+                # below (its trained dims define the model).
+                print(f"Skipping {path}: trained at ngf={ck_ngf}/"
+                      f"crop={ck_crop}, requested ngf={sp.ngf}/"
+                      f"crop={sp.crop_size} (pass --spade_checkpoint "
+                      f"to force loading it)")
+                continue
+            # an explicitly requested checkpoint's trained dims win over
+            # cfg.spade (a ckpt trained at --ngf 32 must not meet an
+            # ngf=64 model)
+            model = build(ck_ngf, ck.get("nz", sp.nz), ck_crop)
             print(f"Loaded SPADE weights from {path}")
         return finish(model, params)
     if checkpoint_path != "random":

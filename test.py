@@ -41,10 +41,12 @@ def parse_args(argv=None):
     p.add_argument("--spade_checkpoint", default="", type=str,
                    help="explicit SPADE generator weights for --gan_shade "
                         "(.pth = ported reference checkpoint, else a "
-                        "tools/train_spade.py pickle); default: the "
-                        "committed artifacts/spade_gan.ckpt, then "
-                        "<output_dir>/latest_net_G_AB.pth "
-                        "(test_SPADE_shade.py:9-14), then random init")
+                        "tools/train_spade.py pickle); default: "
+                        "<output_dir>/latest_net_G_AB.pth first "
+                        "(test_SPADE_shade.py:9-14), then the committed "
+                        "artifacts/spade_gan.ckpt (skipped if trained at "
+                        "other dims than --spade_crop/--spade_ngf), then "
+                        "random init")
     p.add_argument("--room_ids", default="", type=str,
                    help="comma-separated room ids for --fine_tune")
     p.add_argument("--save_semantic_gifs", action="store_true",

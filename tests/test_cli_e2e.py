@@ -15,6 +15,11 @@ import numpy as np
 import pytest
 
 import test as test_cli
+# imported at collection time so a test ordering that puts
+# test_loader_parity.py (which temporarily adds /root/reference, whose
+# top-level train.py would shadow ours, to sys.path) first can't change
+# which module this resolves to
+import train as train_cli
 
 COMMON = ["--synthetic", "16", "--max_objects", "12", "--batch_size", "8",
           "--allow_random_weights"]
@@ -85,8 +90,6 @@ def test_train_cli_smoke_with_microbatch(tmp_path, capsys):
     """train.py glue end-to-end at tiny dims: trains a few iterations
     with --microbatch (gradient accumulation through the CLI), writes the
     checkpoint trio, and restores from it on a second invocation."""
-    import train as train_cli
-
     out = str(tmp_path / "ckpts")
     argv = ["--synthetic", "16", "--max_objects", "12",
             "--batch_size", "8", "--microbatch", "4",

@@ -127,6 +127,44 @@ def test_native_checkpoint_roundtrip(tmp_path):
                                atol=2e-2)
 
 
+def test_default_candidate_skipped_on_dim_mismatch(tmp_path, monkeypatch,
+                                                   capsys):
+    """A DEFAULT-candidate checkpoint (e.g. the committed artifact) whose
+    trained ngf/crop differ from the requested cfg.spade dims is skipped,
+    so --spade_crop/--spade_ngf (the documented oversized-program
+    fallback) are never silently overridden; only an explicit
+    --spade_checkpoint may redefine the model dims."""
+    import dataclasses
+    import pickle
+
+    from sln_tpu.spade.generator import SPADEGenerator4
+
+    gen = SPADEGenerator4(ngf=4, nz=8, crop_size=32)
+    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 41)),
+                      jnp.zeros((1, 8)))["params"]
+    path = tmp_path / "native.ckpt"
+    with open(path, "wb") as f:
+        pickle.dump({"g_params": jax.tree.map(
+                         lambda a: np.asarray(a, np.float16), params),
+                     "config": {"ngf": 4, "nz": 8, "crop": 32}}, f)
+
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg,
+        spade=dataclasses.replace(cfg.spade, ngf=8, crop_size=64),
+        train=dataclasses.replace(cfg.train, output_dir=str(tmp_path)))
+    monkeypatch.setattr(gan_shade, "default_spade_checkpoint_path",
+                        lambda: str(path))
+    model, _ = gan_shade.make_spade_model(cfg)     # no explicit ckpt
+    out = capsys.readouterr().out
+    assert "Skipping" in out and "random init" in out
+    assert (model.ngf, model.crop_size) == (8, 64)
+
+    # the same checkpoint named explicitly still wins
+    model, _ = gan_shade.make_spade_model(cfg, str(path))
+    assert (model.ngf, model.crop_size) == (4, 32)
+
+
 def test_bf16_param_storage_is_bit_identical():
     """compute_dtype='bfloat16' stores serving weights in bf16
     (make_spade_model): module-dtype layers cast fp32 params to bf16 per

@@ -35,10 +35,15 @@ MAX_OBJECTS = 24
 def ref_dataset_cls():
     if not os.path.isdir(REFERENCE):
         pytest.skip("reference repo not available")
-    if REFERENCE not in sys.path:
+    inserted = REFERENCE not in sys.path
+    if inserted:
         sys.path.insert(0, REFERENCE)
     from data.suncg_dataset import SuncgDataset
-    return SuncgDataset
+    yield SuncgDataset
+    # the reference repo has top-level train.py/test.py: leaving it on
+    # sys.path would shadow this repo's CLIs for later-imported tests
+    if inserted and REFERENCE in sys.path:
+        sys.path.remove(REFERENCE)
 
 
 @pytest.fixture(scope="module")

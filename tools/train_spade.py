@@ -282,7 +282,10 @@ def main(argv=None):
         if args.save_every and t % args.save_every == 0:
             save(state, t, last_eval)
 
-    save(state, args.steps, last_eval)
+    # the periodic save above already wrote this exact payload when steps
+    # is a multiple of save_every — don't re-pickle ~0.5 GB back-to-back
+    if not (args.save_every and args.steps % args.save_every == 0):
+        save(state, args.steps, last_eval)
 
 
 if __name__ == "__main__":
