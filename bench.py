@@ -529,16 +529,34 @@ def main():
     # (not errors) when the axon relay is dead, which would hang the
     # whole bench run. Probe in a bounded subprocess first
     # (SLN_TPU_SKIP_PROBE=1 skips, e.g. for CPU-forced smoke runs).
+    # A probe TIMEOUT is ambiguous: a dead tunnel hangs forever, but so
+    # does a chip transiently held by another process (CLAUDE.md: second
+    # TPU processes queue, they don't fail) — so retry timeouts over a
+    # patience window (SLN_TPU_PROBE_PATIENCE seconds, default 600)
+    # before giving up, instead of exit(1)ing on the first 180 s miss.
+    # A probe that *errors* quickly (bad install, bad env) fails fast.
     if not os.environ.get("SLN_TPU_SKIP_PROBE"):
-        try:
-            ok = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=180, capture_output=True).returncode == 0
-        except subprocess.TimeoutExpired:
-            ok = False
-        if not ok:
-            print("bench: TPU device probe failed (tunnel down?); "
-                  "exiting instead of hanging", file=sys.stderr,
+        patience = float(os.environ.get("SLN_TPU_PROBE_PATIENCE", "600"))
+        deadline = time.monotonic() + patience
+        while True:
+            try:
+                ok = subprocess.run(
+                    [sys.executable, "-c", "import jax; jax.devices()"],
+                    timeout=180, capture_output=True).returncode == 0
+                timed_out = False
+            except subprocess.TimeoutExpired:
+                ok, timed_out = False, True
+            if ok:
+                break
+            if timed_out and time.monotonic() < deadline:
+                print("bench: TPU device probe timed out (chip busy or "
+                      "tunnel down); retrying", file=sys.stderr, flush=True)
+                continue
+            print("bench: TPU device probe failed "
+                  + ("(no response within patience window — tunnel down "
+                     "or chip held by a long-lived process)" if timed_out
+                     else "(probe process errored)")
+                  + "; exiting instead of hanging", file=sys.stderr,
                   flush=True)
             sys.exit(1)
 

@@ -51,8 +51,19 @@ def _synthetic_arrays_cached(n: int, seed: int, max_objects: int):
         cache_dir,
         f"syn_{n}_{seed}_{max_objects}_{_generator_code_token()}.npz")
     if os.path.isfile(path):
-        with np.load(path) as z:
-            return {k: z[k] for k in z.files}
+        # a cache entry we can't read (foreign-owner perms in the shared
+        # /tmp dir, or a truncated npz from a killed writer) must fall
+        # back to regeneration, not crash every bench/test
+        try:
+            with np.load(path) as z:
+                return {k: z[k] for k in z.files}
+        except Exception as e:
+            print(f"| data cache unreadable ({path}: {e}); regenerating",
+                  flush=True)
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
     rooms = synthetic.generate_rooms(n, seed=seed)
     arrays = tensorize.tensorize_rooms(rooms, max_objects)
     try:

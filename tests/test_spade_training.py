@@ -170,3 +170,17 @@ def test_train_spade_cli_roundtrip_and_resume(tmp_path):
     with open(art, "rb") as f:
         slim2 = pickle.load(f)
     assert slim2["config"]["trained_steps"] == 4    # 2 warm + 2 new
+    # identical dataset + val_frac: the held-out split is the same rooms,
+    # so resumed val metrics remain held-out-clean
+    assert slim2["config"]["val_heldout_clean"] is True
+    assert slim2["config"]["val_split"] == slim["config"]["val_split"]
+
+    # resuming under a DIFFERENT val_frac moves the split boundary: rooms
+    # the warm-started generator trained on become "held out", so the
+    # checkpoint must be stamped not-clean (and say so)
+    main(base[:base.index("0.25")] + ["0.5"]
+         + base[base.index("0.25") + 1:] + ["--resume", str(art)])
+    with open(art, "rb") as f:
+        slim3 = pickle.load(f)
+    assert slim3["config"]["val_heldout_clean"] is False
+    assert slim3["config"]["val_split"]["n_val"] == 2

@@ -164,3 +164,27 @@ def test_sharded_sampler_matches_single_device(setup):
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
     # the sharded outputs actually live on the mesh
     assert len(b2.sharding.device_set) == 8
+
+
+def test_synthetic_cache_corrupt_file_falls_back(tmp_path, monkeypatch,
+                                                 capsys):
+    """An unreadable/corrupt disk-cache entry regenerates instead of
+    crashing every bench/test that calls load_arrays (the cache dir is
+    world-shared /tmp: truncated npz from a killed writer, or a file
+    owned by another user, must not be fatal)."""
+    from sln_tpu.workloads.common import _synthetic_arrays_cached
+
+    monkeypatch.setenv("SLN_TPU_DATA_CACHE", str(tmp_path))
+    fresh = _synthetic_arrays_cached(4, 0, 16)
+    cached = sorted(tmp_path.glob("syn_4_0_16_*.npz"))
+    assert len(cached) == 1
+
+    # truncate to garbage: np.load raises on this
+    cached[0].write_bytes(b"not an npz")
+    again = _synthetic_arrays_cached(4, 0, 16)
+    assert "regenerating" in capsys.readouterr().out
+    for k in fresh:
+        np.testing.assert_array_equal(fresh[k], again[k])
+    # the bad entry was replaced with a good one
+    with np.load(cached[0]) as z:
+        assert set(z.files) == set(fresh)

@@ -117,9 +117,27 @@ def main(argv=None):
             print("| dataset too small to hold out a val split; "
                   "disabling eval", flush=True)
         n_val = 0
+    n_total = int(len(segs))
     val_segs, val_rgbs = segs[:n_val], rgbs[:n_val]
     segs, rgbs = segs[n_val:], rgbs[n_val:]
     print(f"| dataset: {segs.shape} -> {rgbs.shape} (+{n_val} held out)")
+
+    # Identity of the held-out split, stamped into every checkpoint so a
+    # --resume under different --val_frac/--eval_every/dataset contents
+    # can't silently grade "held-out" quality on images the warm-started
+    # generator already trained on (the split is the FRONT of the sorted
+    # deterministic dataset, so any boundary shift leaks training data
+    # into val).
+    import hashlib
+    if args.pairs_dir:
+        names = sorted(f for f in os.listdir(args.pairs_dir)
+                       if f.endswith(".npz"))
+        src = "pairs:" + ",".join(names)
+    else:
+        src = f"synthetic:{args.synthetic or 32}:{args.crop}"
+    val_split = {"source": hashlib.sha1(src.encode()).hexdigest()[:12],
+                 "n_val": n_val, "n_total": n_total}
+    val_heldout_clean = True
 
     gen = SPADEGenerator4(ngf=args.ngf, nz=args.nz, crop_size=args.crop)
     disc = MultiscaleDiscriminator(ndf=args.ndf, n_layers=3, num_d=2,
@@ -184,6 +202,17 @@ def main(argv=None):
         start_step = int(prev.get("config", {}).get("trained_steps", 0))
         print(f"| warm-started params from {args.resume} "
               f"(previously trained {start_step} steps)", flush=True)
+        prev_split = prev.get("config", {}).get("val_split")
+        if prev_split != val_split:
+            # the warm-started params may have trained on rooms now in
+            # the val split — val_psnr/val_l1 from this run are NOT
+            # held-out-clean; stamp that into the checkpoint config
+            val_heldout_clean = False
+            print("| WARNING: held-out split differs from the resumed "
+                  f"run's ({prev_split} -> {val_split}); val metrics "
+                  "from this run may grade on previously-trained images "
+                  "and will be stamped val_heldout_clean=False",
+                  flush=True)
 
     # held-out L1 (on [-1,1]) / PSNR (on [0,1]) — the same jitted metric
     # the bench's spade_shading_psnr line uses (gan_shade.py)
@@ -218,7 +247,9 @@ def main(argv=None):
         # from the last eval tick, so --resume accounting stays exact even
         # for checkpoints written between evals (or with --eval_every 0)
         config = {**vars(args), **extra,
-                  "trained_steps": start_step + t}
+                  "trained_steps": start_step + t,
+                  "val_split": val_split,
+                  "val_heldout_clean": val_heldout_clean}
         payload = {
             "g_params": jax.tree.map(np.asarray, state.g_params),
             "d_params": jax.tree.map(np.asarray, state.d_params),
