@@ -178,9 +178,33 @@ def test_train_spade_cli_roundtrip_and_resume(tmp_path):
     # resuming under a DIFFERENT val_frac moves the split boundary: rooms
     # the warm-started generator trained on become "held out", so the
     # checkpoint must be stamped not-clean (and say so)
-    main(base[:base.index("0.25")] + ["0.5"]
-         + base[base.index("0.25") + 1:] + ["--resume", str(art)])
+    base_half = (base[:base.index("0.25")] + ["0.5"]
+                 + base[base.index("0.25") + 1:])
+    main(base_half + ["--resume", str(art)])
     with open(art, "rb") as f:
         slim3 = pickle.load(f)
     assert slim3["config"]["val_heldout_clean"] is False
     assert slim3["config"]["val_split"]["n_val"] == 2
+
+    # taint persists across resume CHAINS: resuming the dirty checkpoint
+    # with a NOW-matching split must stay dirty (the warm-started params
+    # trained on rooms inside the current val set earlier in the chain)
+    main(base_half + ["--resume", str(art)])
+    with open(art, "rb") as f:
+        slim4 = pickle.load(f)
+    assert slim4["config"]["val_split"] == slim3["config"]["val_split"]
+    assert slim4["config"]["val_heldout_clean"] is False
+
+    # the split identity hashes file contents (size/mtime), not just
+    # names: replacing a pair file in place changes the val_split source
+    import os
+    p0 = pairs / "0.npz"
+    np.savez(p0, seg=rng.uniform(0, 1, (32, 32, 41)).astype(np.float32),
+             rgb=rng.uniform(-1, 1, (32, 32, 3)).astype(np.float32))
+    os.utime(p0, (os.path.getatime(p0), os.path.getmtime(p0) + 10))
+    main(base_half + ["--resume", str(art)])
+    with open(art, "rb") as f:
+        slim5 = pickle.load(f)
+    assert (slim5["config"]["val_split"]["source"]
+            != slim4["config"]["val_split"]["source"])
+    assert slim5["config"]["val_heldout_clean"] is False

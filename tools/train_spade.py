@@ -132,7 +132,13 @@ def main(argv=None):
     if args.pairs_dir:
         names = sorted(f for f in os.listdir(args.pairs_dir)
                        if f.endswith(".npz"))
-        src = "pairs:" + ",".join(names)
+        # size+mtime per file so replacing a file's CONTENTS in place
+        # (same name) changes the split identity too
+        src = "pairs:" + ",".join(
+            "%s:%d:%d" % (f, os.path.getsize(os.path.join(args.pairs_dir, f)),
+                          int(os.path.getmtime(os.path.join(args.pairs_dir,
+                                                            f))))
+            for f in names)
     else:
         src = f"synthetic:{args.synthetic or 32}:{args.crop}"
     val_split = {"source": hashlib.sha1(src.encode()).hexdigest()[:12],
@@ -203,6 +209,12 @@ def main(argv=None):
         print(f"| warm-started params from {args.resume} "
               f"(previously trained {start_step} steps)", flush=True)
         prev_split = prev.get("config", {}).get("val_split")
+        # taint persists across resume CHAINS: a checkpoint already
+        # stamped val_heldout_clean=False (e.g. an earlier val_frac
+        # change) stays dirty even when this resume's split matches —
+        # the warm-started params trained on rooms in the current val set
+        val_heldout_clean = bool(
+            prev.get("config", {}).get("val_heldout_clean", False))
         if prev_split != val_split:
             # the warm-started params may have trained on rooms now in
             # the val split — val_psnr/val_l1 from this run are NOT
