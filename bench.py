@@ -5,7 +5,13 @@
   refine_render_grad_steps_per_sec            >= 200/s   (96px, loss-pyramid top)
   refine_render_grad_steps_per_sec_batched_8  aggregate serving config
   refine_render_grad_steps_per_sec_256px      strict reference parity size
-  spade_imgs_per_sec_256px                    SPADEGenerator4 ngf=64 @256px
+  spade_imgs_per_sec_256px                    SPADEGenerator4 ngf=64 @256px,
+                                              seg varied per step (cold-seg)
+  gan_shade_imgs_per_sec                      END-TO-END per-room serving:
+                                              real colorize() calls, 50 z
+                                              over a fixed room, host fetch
+                                              included (test_SPADE_shade
+                                              workload shape)
   spade_shading_psnr                          trained shading ckpt quality
   train_scenes_per_sec                        train step @ batch 256 fp32
   train_scenes_per_sec_bf16                   same, bfloat16 compute
@@ -242,6 +248,95 @@ def bench_spade(batch: int = 10, steps: int = 10,
             "value": round(rate, 1), "unit": "imgs/s", "vs_baseline": None}
 
 
+def bench_gan_shade(num_z: int = 50, rooms: int = 3,
+                    z_chunk: int = 10) -> list:
+    """The gan_shade serving workload: 50 z-samples over ONE fixed room
+    per serve (test.py:94, testing/test_SPADE_shade.py:74-80), with the
+    seg-conditioned SPADE stack computed once per room BY DESIGN
+    (SPADEGenerator4.seg_mods) — unlike spade_imgs_per_sec_256px, which
+    varies seg per scan step (the cold-seg generator number).
+
+    Two lines:
+      gan_shade_imgs_per_sec_device — per-room DEVICE throughput: one
+        scanned program over several distinct rooms (seg_mods + chunked
+        decode per room, segs vary per step so nothing illegitimately
+        hoists) ending in a fetched checksum. This is what local-attach
+        serving hardware delivers.
+      gan_shade_imgs_per_sec — END-TO-END wall clock of the real
+        `colorize(out_dtype='uint8')` calls including the per-image host
+        fetch. Over the axon tunnel the fetch (~12-25 MB/s measured) is
+        the binding constraint, so this line reports the tunnel-bound
+        rate, not a compute property."""
+    import jax
+    import jax.numpy as jnp
+
+    from sln_tpu.config import default_config
+    from sln_tpu.workloads import gan_shade
+
+    cfg = default_config()
+    model, params = gan_shade.make_spade_model(cfg)
+    rng = np.random.default_rng(0)
+    S = model.crop_size
+    segs = np.empty((rooms + 1, S, S, 41), np.float32)
+    for r in range(rooms + 1):
+        segs[r] = rng.uniform(0, 1, (S, S, 41)).astype(np.float32)
+        segs[r, ..., 0] = segs[r, ..., 0] * 2 - 1
+
+    # --- device line: scan over rooms, each room = seg_mods + chunked
+    # decode (exactly colorize's per-room program), one checksum fetch
+    n_chunks = -(-num_z // z_chunk)
+    zs = jax.random.normal(jax.random.PRNGKey(1),
+                           (rooms, n_chunks, z_chunk, model.nz))
+
+    def scan_rooms(p, segs_d, zs):
+        def per_room(acc, room):
+            seg, z_room = room
+            mods = model.apply({"params": p}, seg[None], method="seg_mods")
+
+            def per_chunk(a, z):
+                out = model.apply({"params": p}, mods, z, method="decode")
+                return a + out.mean(), ()
+
+            acc_r, _ = jax.lax.scan(per_chunk, jnp.zeros(()), z_room)
+            return acc + acc_r, ()
+
+        acc, _ = jax.lax.scan(per_room, jnp.zeros(()), (segs_d, zs))
+        return acc
+
+    run = jax.jit(scan_rooms)
+    segs_d = jnp.asarray(segs[:rooms])
+    float(run(params, segs_d, zs))                      # compile + warm
+    dev_rate = 0.0
+    for w in range(2):
+        t0 = time.perf_counter()
+        float(run(params, segs_d * (1.0 + 1e-4 * (w + 1)),
+                  zs * (1.0 + 1e-4 * (w + 1))))
+        dev_rate = max(dev_rate,
+                       rooms * n_chunks * z_chunk
+                       / (time.perf_counter() - t0))
+
+    # --- end-to-end line: the real serving calls, uint8 transport
+    gan_shade.colorize(model, params, segs[-1], num_z=num_z,
+                       z_chunk=z_chunk, out_dtype="uint8")   # warm
+    t0 = time.perf_counter()
+    for r in range(rooms):
+        out = gan_shade.colorize(model, params, segs[r], num_z=num_z,
+                                 z_chunk=z_chunk, out_dtype="uint8")
+    assert out.shape[0] == num_z and out.dtype == np.uint8
+    e2e_rate = rooms * num_z / (time.perf_counter() - t0)
+    return [
+        {"metric": "gan_shade_imgs_per_sec_device",
+         "value": round(dev_rate, 1),
+         "unit": f"imgs/s on device ({num_z} z/room, seg_mods reused "
+                 "per room)",
+         "vs_baseline": None},
+        {"metric": "gan_shade_imgs_per_sec", "value": round(e2e_rate, 1),
+         "unit": f"imgs/s end-to-end ({num_z} z/room, uint8 fetch; "
+                 "tunnel-bandwidth-bound here)",
+         "vs_baseline": None},
+    ]
+
+
 def bench_spade_quality(num_rooms: int = 8) -> dict:
     """Shading quality of the committed SPADE checkpoint: PSNR / L1 of
     generator output vs the deterministic shading target on freshly
@@ -451,12 +546,11 @@ def bench_layouts(setup=None) -> dict:
 
 
 def _run_only(name: str) -> None:
-    """Run one benchmark in this process. With --isolate every metric gets
-    a fresh subprocess; the default full run isolates only the layouts
-    headline, so cross-bench allocator contamination (SPADE measures ~260
-    imgs/s clean but ~68 after the refinement benches) still applies to
-    the non-headline lines unless --isolate is passed — which is why
-    SPADE is ordered first in ORDER."""
+    """Run one benchmark in this process. The default full run gives
+    every metric a fresh subprocess; --inprocess shares one process, so
+    cross-bench allocator contamination (SPADE measures ~260 imgs/s clean
+    but ~68 after the refinement benches) applies to the non-headline
+    lines — which is why SPADE is ordered first in ORDER."""
     if name == "refine_96px":
         _emit(bench_refine())
     elif name == "refine_batched":
@@ -471,6 +565,9 @@ def _run_only(name: str) -> None:
         _emit(bench_spade())
     elif name == "spade_256px_bf16":
         _emit(bench_spade(compute_dtype="bfloat16"))
+    elif name == "gan_shade":
+        for rec in bench_gan_shade():
+            _emit(rec)
     elif name == "spade_quality":
         _emit(bench_spade_quality())
     elif name == "train":
@@ -495,14 +592,16 @@ def _run_only(name: str) -> None:
         raise SystemExit(f"unknown bench {name}")
 
 
-# SPADE runs BEFORE the refinement benches: device allocator state left
-# behind by the refine programs costs the big-conv generator ~4x (68 vs
-# ~260 imgs/s measured clean); the layouts headline runs last (it is
-# insensitive to prior state and the driver parses the final line).
-ORDER = ("spade_256px", "spade_256px_bf16", "spade_quality", "refine_96px",
-         "refine_batched", "refine_256px", "refine_batched_256px",
-         "refine_iou", "train", "train_bf16", "train_accum", "quality",
-         "layouts")
+# Full runs isolate EVERY metric in a fresh subprocess by default (the
+# persistent compile cache keeps that cheap): device allocator state left
+# behind by one bench measurably contaminates the next in-process (the
+# refine programs cost the big-conv SPADE generator ~4x — 68 vs ~260
+# imgs/s measured). SPADE still runs first and the layouts headline last
+# (the driver parses the final line) so --inprocess stays least-biased.
+ORDER = ("spade_256px", "spade_256px_bf16", "gan_shade", "spade_quality",
+         "refine_96px", "refine_batched", "refine_256px",
+         "refine_batched_256px", "refine_iou", "train", "train_bf16",
+         "train_accum", "quality", "layouts")
 
 
 def main():
@@ -516,9 +615,13 @@ def main():
     ap.add_argument("--only", default="", choices=("",) + ORDER,
                     help="run a single benchmark in-process")
     ap.add_argument("--isolate", action="store_true",
-                    help="run every benchmark in a fresh subprocess "
-                         "(cleanest per-metric numbers, but each pays "
-                         "cold-process dispatch overhead)")
+                    help="(default behavior; kept for compatibility)")
+    ap.add_argument("--inprocess", action="store_true",
+                    help="run all benchmarks in ONE process (faster, but "
+                         "allocator state from earlier benches biases "
+                         "later lines — measured ~4x on SPADE after the "
+                         "refine benches; the layouts headline still "
+                         "isolates)")
     opts = ap.parse_args()
 
     if opts.only:
@@ -563,12 +666,14 @@ def main():
     names = ("layouts",) if opts.quick else ORDER
     here = os.path.abspath(__file__)
     for name in names:
-        # the headline (parsed from the LAST line by the driver) always
-        # runs in a fresh subprocess: device allocator state left by the
-        # preceding benches costs it a measured ~12% run-to-run swing
-        # (916k vs 808k layouts/s); a clean process pins it down. The
-        # persistent compile cache keeps the extra process cheap.
-        isolate = opts.isolate or (name == "layouts" and not opts.quick)
+        # every metric runs in a fresh subprocess unless --inprocess: the
+        # measured cross-bench allocator bias is ~4x on SPADE and ~12%
+        # run-to-run on the headline (916k vs 808k layouts/s). The
+        # persistent compile cache keeps the extra processes cheap. The
+        # layouts headline (parsed from the LAST line by the driver)
+        # isolates even under --inprocess.
+        isolate = (not opts.inprocess) or (name == "layouts"
+                                           and not opts.quick)
         if not isolate:
             try:
                 _run_only(name)

@@ -222,11 +222,15 @@ class SpadeConfig:
     n_up: str = "normal"
     num_z: int = 50                   # test.py:94
     # conv compute dtype for inference shading ("float32" | "bfloat16").
-    # bfloat16 runs the MXU at full rate (~3x the fp32 3-pass
-    # decomposition) at ~1e-2 output tolerance, and make_spade_model then
-    # also STORES the serving weights in bf16 — bit-identical output
-    # (flax casts fp32 params to the module dtype per call anyway) while
-    # halving the weight HBM traffic of the bandwidth-bound generator.
+    # make_spade_model STORES the serving weights in bf16 too —
+    # bit-identical output (flax casts fp32 params to the module dtype
+    # per call anyway) with half the weight HBM traffic. Measured v5e
+    # effect (r4, honest scan+fetch, tools/profile_spade_factored.py):
+    # +13-14% imgs/s (decode 225 vs 200; cold-seg full forward 112 vs 97)
+    # at ~1.5/255 mean image error — the generator's activation traffic,
+    # not its weights, dominates HBM at 256px, so bf16 weights buy much
+    # less than the 2x a weight-bound roofline would predict. fp32 stays
+    # the default (quality over the modest win).
     compute_dtype: str = "float32"
 
 

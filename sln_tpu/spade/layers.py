@@ -87,34 +87,54 @@ def resize_nearest(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 
 class SPADE4(nn.Module):
-    """Depth-aware SPADE modulation (reference :1404-1454), 'layer' norm."""
+    """Depth-aware SPADE modulation (reference :1404-1454), 'layer' norm.
+
+    Factored into `mods` (everything computable from the segmentation map
+    alone: resize + depth branch + shared conv + gamma/beta convs) and
+    `apply_mods` (the z-stream side). In the gan_shade serving workload
+    (testing/test_SPADE_shade.py:74-80) seg is FIXED per room while 50 z
+    vary, so `mods` runs once per room and `apply_mods` per z — see
+    SPADEGenerator4.seg_mods/decode. `__call__(x, seg)` composes the two
+    and is numerically identical to the unfactored block."""
     norm_nc: int
     label_nc: int = 41
     ks: int = 3
     nhidden: int = 128
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, segmap: jnp.ndarray) -> jnp.ndarray:
-        """x: (B, H, W, norm_nc); segmap: (B, Hs, Ws, label_nc) with the
-        depth map in channel 0."""
-        normalized = layer_norm_2d(x)
-
-        seg = resize_bilinear(segmap, x.shape[1], x.shape[2])
+    def setup(self):
         pw = self.ks // 2
-        depth = PadConv(self.nhidden // 8, self.ks, pw, dtype=self.dtype,
-                        name="mlp_preshared_depth")(seg[..., 0:1])
+        self.mlp_preshared_depth = PadConv(self.nhidden // 8, self.ks, pw,
+                                           dtype=self.dtype)
+        self.mlp_shared = PadConv(self.nhidden, 3, pw, dtype=self.dtype)
+        self.mlp_gamma = PadConv(self.norm_nc, self.ks, pw,
+                                 dtype=self.dtype)
+        self.mlp_beta = PadConv(self.norm_nc, self.ks, pw, dtype=self.dtype)
+
+    def mods(self, segmap: jnp.ndarray, h: int,
+             w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """segmap: (B, Hs, Ws, label_nc), depth in channel 0 -> the
+        (gamma, beta) modulation maps at (h, w)."""
+        seg = resize_bilinear(segmap, h, w)
+        depth = self.mlp_preshared_depth(seg[..., 0:1])
         depth = nn.leaky_relu(depth, 0.01)
-        actv = PadConv(self.nhidden, 3, pw, dtype=self.dtype,
-                       name="mlp_shared")(
+        actv = self.mlp_shared(
             jnp.concatenate([depth, seg[..., 1:].astype(depth.dtype)],
                             axis=-1))
         actv = nn.relu(actv)
-        gamma = PadConv(self.norm_nc, self.ks, pw, dtype=self.dtype,
-                        name="mlp_gamma")(actv)
-        beta = PadConv(self.norm_nc, self.ks, pw, dtype=self.dtype,
-                       name="mlp_beta")(actv)
-        return normalized * (1.0 + gamma) + beta
+        return self.mlp_gamma(actv), self.mlp_beta(actv)
+
+    @staticmethod
+    def apply_mods(x: jnp.ndarray, gamma: jnp.ndarray,
+                   beta: jnp.ndarray) -> jnp.ndarray:
+        """Modulate the z stream; gamma/beta broadcast over x's batch."""
+        return layer_norm_2d(x) * (1.0 + gamma) + beta
+
+    def __call__(self, x: jnp.ndarray, segmap: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, H, W, norm_nc); segmap: (B, Hs, Ws, label_nc) with the
+        depth map in channel 0."""
+        gamma, beta = self.mods(segmap, x.shape[1], x.shape[2])
+        return self.apply_mods(x, gamma, beta)
 
 
 class SEBlock2(nn.Module):
@@ -136,32 +156,49 @@ class SEBlock2(nn.Module):
 
 
 class SPADEResnetBlock4(nn.Module):
-    """Reference :1457-1505 (spectral norm folded into kernels)."""
+    """Reference :1457-1505 (spectral norm folded into kernels).
+
+    `mods`/`from_mods` split the block into its seg-only precompute (the
+    per-SPADE gamma/beta stacks) and the z-stream pass, for fixed-seg
+    serving (SPADE4 docstring); `__call__` composes them."""
     fin: int
     fout: int
     label_nc: int = 41
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, seg: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         fmiddle = min(self.fin, self.fout)
-        learned_shortcut = self.fin != self.fout
+        if self.fin != self.fout:
+            self.norm_s = SPADE4(self.fin, self.label_nc, dtype=self.dtype)
+            self.conv_s = nn.Conv(self.fout, (1, 1), padding="VALID",
+                                  use_bias=False, dtype=self.dtype)
+        self.norm_0 = SPADE4(self.fin, self.label_nc, dtype=self.dtype)
+        self.conv_0 = PadConv(fmiddle, 3, 1, dtype=self.dtype)
+        self.norm_1 = SPADE4(fmiddle, self.label_nc, dtype=self.dtype)
+        self.conv_1 = PadConv(self.fout, 3, 1, dtype=self.dtype)
+        self.se = SEBlock2(self.fout)
 
-        if learned_shortcut:
-            x_s = nn.Conv(self.fout, (1, 1), padding="VALID",
-                          use_bias=False, dtype=self.dtype, name="conv_s")(
-                SPADE4(self.fin, self.label_nc, dtype=self.dtype,
-                       name="norm_s")(x, seg))
+    def mods(self, seg: jnp.ndarray, h: int, w: int):
+        """All (gamma, beta) pairs this block needs at resolution (h, w).
+        PadConv preserves H/W, so norm_0/norm_1 (and the shortcut's
+        norm_s) all modulate at the block's input resolution."""
+        out = {"norm_0": self.norm_0.mods(seg, h, w),
+               "norm_1": self.norm_1.mods(seg, h, w)}
+        if self.fin != self.fout:
+            out["norm_s"] = self.norm_s.mods(seg, h, w)
+        return out
+
+    def from_mods(self, x: jnp.ndarray, mods) -> jnp.ndarray:
+        if self.fin != self.fout:
+            x_s = self.conv_s(SPADE4.apply_mods(x, *mods["norm_s"]))
         else:
             x_s = x
-
-        dx = SPADE4(self.fin, self.label_nc, dtype=self.dtype,
-                    name="norm_0")(x, seg)
-        dx = PadConv(fmiddle, 3, 1, dtype=self.dtype, name="conv_0")(
-            nn.leaky_relu(dx, 0.2))
-        dx = SPADE4(fmiddle, self.label_nc, dtype=self.dtype,
-                    name="norm_1")(dx, seg)
-        dx = PadConv(self.fout, 3, 1, dtype=self.dtype, name="conv_1")(
-            nn.leaky_relu(dx, 0.2))
-        dx = SEBlock2(self.fout, name="se")(dx)
+        dx = SPADE4.apply_mods(x, *mods["norm_0"])
+        dx = self.conv_0(nn.leaky_relu(dx, 0.2))
+        dx = SPADE4.apply_mods(dx, *mods["norm_1"])
+        dx = self.conv_1(nn.leaky_relu(dx, 0.2))
+        dx = self.se(dx)
         return (x_s + dx).astype(x.dtype)
+
+    def __call__(self, x: jnp.ndarray, seg: jnp.ndarray) -> jnp.ndarray:
+        return self.from_mods(x, self.mods(seg, x.shape[1], x.shape[2]))

@@ -326,55 +326,106 @@ def make_spade_model(cfg: Config, checkpoint_path: Optional[str] = None):
     return finish(model, params)
 
 
+def _colorize_room_fn(model, out_dtype: str = "float32", _cache={}):
+    """Per-model jitted whole-room program for colorize, cached so serving
+    many rooms traces and lowers the 256px program once, not per call:
+    seg_mods ONCE + lax.scan of decode over the z chunks, one output
+    buffer. One device program per room matters over the axon tunnel —
+    per-program call overhead is ~25 ms and a separate seg_mods dispatch
+    measured ~220 ms (its pytree is ~34 output buffers). params must be
+    jit ARGUMENTS: closing over them bakes ~100M floats into the compile
+    request as constants, which overflows the remote tunnel's request
+    limit (HTTP 413) at ngf=64 / 256px.
+
+    out_dtype="uint8" converts to 8-bit on DEVICE: the serving pipeline
+    ends in 8-bit PNGs anyway, and device->host fetch is the end-to-end
+    bottleneck (the tunnel moves ~12-25 MB/s; 50 fp32 256px images are
+    39 MB), so shipping exactly the PNG payload quarters it."""
+    import jax
+    import jax.numpy as jnp
+
+    if (model, out_dtype) not in _cache:
+        def room(p, seg, zs):
+            """zs: (num_chunks, chunk, nz) -> (num_chunks, chunk, S, S, 3).
+            The modulation stacks are loop-invariant across chunks BY
+            DESIGN (seg is fixed per room) and live in HBM for the whole
+            scan."""
+            mods = model.apply({"params": p}, seg, method="seg_mods")
+
+            def body(_, z):
+                rgb = model.apply({"params": p}, mods, z, method="decode")
+                if out_dtype == "uint8":
+                    rgb = jnp.round(
+                        jnp.clip((rgb + 1.0) * 0.5, 0.0, 1.0) * 255.0
+                    ).astype(jnp.uint8)
+                return None, rgb
+
+            _, imgs = jax.lax.scan(body, None, zs)
+            return imgs
+
+        _cache[(model, out_dtype)] = jax.jit(room)
+    return _cache[(model, out_dtype)]
+
+
 def colorize(model, params, spade_input: np.ndarray, num_z: int,
-             z_chunk: int = 10, seed: int = 0, mesh=None) -> np.ndarray:
-    """One room's 41-channel input -> (num_z, S, S, 3) RGB in [0, 1].
+             z_chunk: int = 10, seed: int = 0, mesh=None,
+             out_dtype: str = "float32") -> np.ndarray:
+    """One room's 41-channel input -> (num_z, S, S, 3) RGB in [0, 1]
+    (out_dtype="uint8": in [0, 255], converted on device — the PNG-bound
+    serving transport; quarters the fetch, which bounds end-to-end rate).
+
+    seg is FIXED per room while the z samples vary (the reference runs 50
+    sequential full generator passes, testing/test_SPADE_shade.py:74-80),
+    so the seg-conditioned half of the generator — every SPADE norm's
+    depth/shared/gamma/beta convs at all 7 scales — is computed ONCE via
+    `SPADEGenerator4.seg_mods` and reused by every z chunk's `decode`.
 
     mesh: optional jax.sharding.Mesh for multi-chip serving — the z
     samples are independent, so each chunk shards over the data axis
-    (z_chunk is rounded up to a multiple of the data-axis size) while
-    the generator params and the segmentation map replicate. z is drawn
-    per chunk via fold_in(key, chunk_idx); when the rounding actually
-    changes z_chunk, chunk boundaries shift, so sharded serving draws a
-    different (equally valid) z stream than the single-device path —
-    outputs are bitwise equal only when z_chunk is already a multiple of
-    the data-axis size (the configuration the equality test pins).
+    while the generator params and the precomputed modulation stacks
+    replicate. The z stream is identical to the single-device path for
+    every (num_z, z_chunk): chunks are always drawn at the caller's
+    z_chunk via fold_in(key, chunk_idx) and only PADDED (with discarded
+    rows) up to a multiple of the data-axis size.
     """
     import jax
     import jax.numpy as jnp
 
     seg = jnp.asarray(spade_input)[None]
     z_sharding = None
+    pad_to = 1
     if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         from sln_tpu.parallel import mesh as meshlib
         params = meshlib.replicate(params, mesh)
         seg = jax.device_put(seg, meshlib.replicated(mesh))
-        z_sharding = meshlib.batch_sharding(mesh)
-        nd = mesh.shape[meshlib.DATA_AXIS]
-        z_chunk = ((z_chunk + nd - 1) // nd) * nd
+        # chunk rows (axis 1 of the stacked (C, chunk, nz)) shard over
+        # the data axis; the chunk axis is the scan axis
+        z_sharding = NamedSharding(mesh, P(None, meshlib.DATA_AXIS))
+        pad_to = mesh.shape[meshlib.DATA_AXIS]
 
-    # params must be jit ARGUMENTS: closing over them bakes ~100M floats
-    # into the compile request as constants, which overflows the remote
-    # tunnel's request limit (HTTP 413) at ngf=64 / 256px.
-    @jax.jit
-    def run(p, seg, z):
-        seg_b = jnp.broadcast_to(seg, (z.shape[0],) + seg.shape[1:])
-        return model.apply({"params": p}, seg_b, z)
-
-    outs = []
+    # the whole room is ONE device program: the z stream is drawn in
+    # fixed-size chunks via fold_in(key, chunk_idx) (identical for the
+    # sharded and single-device paths), padded with discarded rows up to
+    # a data-axis multiple, and stacked along the scan axis
     key = jax.random.PRNGKey(seed)
-    done = 0
-    chunk_idx = 0
-    while done < num_z:
-        n = min(z_chunk, num_z - done)
-        z = jax.random.normal(jax.random.fold_in(key, chunk_idx),
-                              (z_chunk, model.nz))
-        chunk_idx += 1
-        if z_sharding is not None:
-            z = jax.device_put(z, z_sharding)
-        outs.append(np.asarray(run(params, seg, z))[:n])
-        done += n
-    rgb = np.concatenate(outs, axis=0)
+    n_chunks = -(-num_z // z_chunk)
+    n_pad = ((z_chunk + pad_to - 1) // pad_to) * pad_to
+    zs = np.zeros((n_chunks, n_pad, model.nz), np.float32)
+    for i in range(n_chunks):
+        zs[i, :z_chunk] = np.asarray(jax.random.normal(
+            jax.random.fold_in(key, i), (z_chunk, model.nz)))
+    zs = jnp.asarray(zs)
+    if z_sharding is not None:
+        zs = jax.device_put(zs, z_sharding)
+
+    imgs = np.asarray(_colorize_room_fn(model, out_dtype)(params, seg, zs))
+    keep = [imgs[i, :min(z_chunk, num_z - i * z_chunk)]
+            for i in range(n_chunks)]
+    rgb = np.concatenate(keep, axis=0)
+    if out_dtype == "uint8":
+        return rgb
     return (rgb + 1.0) / 2.0
 
 
@@ -449,9 +500,11 @@ def run_gan_shade(vae_model, vae_variables, val_arrays: Dict[str,
         # (make_spade_model) — meet it, like the reference resizes its
         # 1024px Blender reads to the generator's 256 (:74)
         spade_in = resize_spade_input(spade_in, model.crop_size)
-        rgb = colorize(model, params, spade_in, num_z)
+        # uint8 transport: the artifacts are 8-bit PNGs, and the
+        # device->host fetch bounds serving throughput (colorize docstring)
+        rgb = colorize(model, params, spade_in, num_z, out_dtype="uint8")
         for k in range(num_z):
             plt.imsave(os.path.join(
                 save_dir, f"{room_id}_{str(k).zfill(3)}_color.png"),
-                np.clip(rgb[k], 0, 1))
+                rgb[k])
         print(f"room {room_id}: wrote {num_z} colorizations")

@@ -195,7 +195,9 @@ def test_bf16_param_storage_is_bit_identical():
 
 
 def test_colorize_sharded_matches_single_device():
-    """z-sharded multi-chip colorize == single-device (8 CPU devices)."""
+    """z-sharded multi-chip colorize == single-device (8 CPU devices) —
+    including when z_chunk is NOT a multiple of the data-axis size (the
+    sharded path pads each chunk rather than changing the z stream)."""
     from sln_tpu.parallel import mesh as meshlib
     from sln_tpu.spade.generator import SPADEGenerator4
 
@@ -204,8 +206,55 @@ def test_colorize_sharded_matches_single_device():
         0, 1, (64, 64, 41)).astype(np.float32)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 41)),
                         jnp.zeros((1, 16)))["params"]
-    rgb_ref = gan_shade.colorize(model, params, seg, num_z=8, z_chunk=8)
     mesh = meshlib.make_mesh(num_data=4)
+    rgb_ref = gan_shade.colorize(model, params, seg, num_z=8, z_chunk=8)
     rgb_sh = gan_shade.colorize(model, params, seg, num_z=8, z_chunk=8,
                                 mesh=mesh)
     np.testing.assert_allclose(rgb_sh, rgb_ref, rtol=1e-5, atol=1e-5)
+    # rounding case: z_chunk=3 on a 4-wide data axis pads each chunk to 4
+    # and discards the pad rows — same z stream, same images
+    rgb_ref3 = gan_shade.colorize(model, params, seg, num_z=7, z_chunk=3)
+    rgb_sh3 = gan_shade.colorize(model, params, seg, num_z=7, z_chunk=3,
+                                 mesh=mesh)
+    np.testing.assert_allclose(rgb_sh3, rgb_ref3, rtol=1e-5, atol=1e-5)
+
+
+def test_colorize_uint8_transport_matches_quantized_float():
+    """out_dtype='uint8' (the PNG-bound serving transport, converted on
+    device to quarter the fetch) == the float path quantized to 8-bit."""
+    from sln_tpu.spade.generator import SPADEGenerator4
+
+    model = SPADEGenerator4(ngf=8, nz=16, crop_size=64)
+    seg = np.random.default_rng(4).uniform(
+        0, 1, (64, 64, 41)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 41)),
+                        jnp.zeros((1, 16)))["params"]
+    f = gan_shade.colorize(model, params, seg, num_z=4, z_chunk=4)
+    u = gan_shade.colorize(model, params, seg, num_z=4, z_chunk=4,
+                           out_dtype="uint8")
+    assert u.dtype == np.uint8 and u.shape == f.shape
+    q = np.round(np.clip(f, 0, 1) * 255.0)
+    assert np.abs(u.astype(np.float64) - q).max() <= 1.0
+
+
+def test_colorize_decode_matches_unfactored_forward():
+    """colorize's seg_mods + decode factoring == the plain __call__
+    forward for the same z stream (seg fixed per room)."""
+    from sln_tpu.spade.generator import SPADEGenerator4
+
+    model = SPADEGenerator4(ngf=8, nz=16, crop_size=64)
+    seg = np.random.default_rng(5).uniform(
+        0, 1, (64, 64, 41)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 41)),
+                        jnp.zeros((1, 16)))["params"]
+    rgb = gan_shade.colorize(model, params, seg, num_z=5, z_chunk=2,
+                             seed=3)
+    # reproduce the exact z stream (fixed-size chunks, fold_in counter)
+    key = jax.random.PRNGKey(3)
+    zs = [jax.random.normal(jax.random.fold_in(key, i), (2, 16))
+          for i in range(3)]
+    z = jnp.concatenate(zs)[:5]
+    seg_b = jnp.broadcast_to(jnp.asarray(seg)[None], (5, 64, 64, 41))
+    direct = model.apply({"params": params}, seg_b, z)
+    np.testing.assert_allclose(rgb, (np.asarray(direct) + 1.0) / 2.0,
+                               rtol=2e-5, atol=2e-5)
