@@ -53,3 +53,26 @@ def shard_batch(batch, mesh: Mesh):
 def replicate(tree, mesh: Mesh):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def global_from_host_shards(local_batch, mesh: Mesh,
+                            global_batch_size: int):
+    """Assemble each host's local batch rows (from
+    train.loop.host_sharded_batches) into one global jax.Array whose
+    leading axis shards over the data axis.
+
+    Uses jax.make_array_from_process_local_data: each process contributes
+    only the rows its addressable devices own — this is the multi-host /
+    multi-slice input boundary (DCN never carries training data, only
+    each host's own shard moves host->device; the step's gradient psums
+    then ride ICI within each slice). Single-process meshes (including
+    the virtual-device dryrun) degenerate to a plain sharded device_put
+    of the full batch, so the same code path serves both."""
+    sh = batch_sharding(mesh)
+
+    def make(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            sh, x, (global_batch_size,) + x.shape[1:])
+
+    return jax.tree.map(make, local_batch)

@@ -214,3 +214,37 @@ def batches_from_arrays(arrays: Dict[str, np.ndarray], batch_size: int,
             objs=arrays["objs"][idx], boxes=arrays["boxes"][idx],
             angles=arrays["angles"][idx], obj_mask=arrays["obj_mask"][idx],
             room_ids=arrays["room_ids"][idx])
+
+
+def host_sharded_batches(arrays: Dict[str, np.ndarray],
+                         global_batch_size: int, rng: np.random.Generator,
+                         process_index: Optional[int] = None,
+                         process_count: Optional[int] = None):
+    """Per-host disjoint shard of the exact global epoch stream — the
+    multi-host replacement for the reference's 8-worker DataLoader
+    (options/options.py:23; SURVEY §2.10 "host-sharded input pipeline").
+
+    Every host seeds the SAME rng and therefore draws the SAME global
+    permutation (a few integer ops — no data is duplicated), then slices
+    rows [pi*B/H, (pi+1)*B/H) out of each global batch. Concatenating the
+    H host streams in process order reproduces batches_from_arrays(...)
+    bit for bit (tests/test_train.py), so multi-host training consumes
+    the identical global batch sequence as single-host. Feed the local
+    shard through parallel.mesh.global_from_host_shards to assemble the
+    global device array (within a slice the step's collectives ride ICI;
+    host shards only cross DCN at this input boundary).
+
+    process_index/process_count default to jax.process_index()/count —
+    pass them explicitly to simulate multiple hosts in one process."""
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    if global_batch_size % process_count:
+        raise ValueError(
+            f"global batch {global_batch_size} is not divisible by "
+            f"process count {process_count}")
+    local = global_batch_size // process_count
+    lo = process_index * local
+    for raw in batches_from_arrays(arrays, global_batch_size, rng):
+        yield RawBatch(*(a[lo:lo + local] for a in raw))

@@ -235,3 +235,52 @@ def test_train_step_deterministic():
         np.asarray(a), np.asarray(b)), s1.params, s2.params)
     for k in l1:
         np.testing.assert_array_equal(np.asarray(l1[k]), np.asarray(l2[k]))
+
+
+def test_host_sharded_batches_form_exact_global_stream():
+    """Two simulated hosts' disjoint shards concatenate (in process order)
+    to the exact single-process batches_from_arrays stream — the multi-
+    host input-pipeline invariant (SURVEY §2.10)."""
+    _, arrays, _, _ = _setup()
+    B = 8
+    ref = list(train_loop.batches_from_arrays(
+        arrays, B, np.random.default_rng(7)))
+    shards = [list(train_loop.host_sharded_batches(
+                  arrays, B, np.random.default_rng(7),
+                  process_index=i, process_count=2))
+              for i in range(2)]
+    assert len(shards[0]) == len(ref) and len(shards[1]) == len(ref)
+    for r, a, b in zip(ref, *shards):
+        for field in train_loop.RawBatch._fields:
+            got = np.concatenate([np.asarray(getattr(a, field)),
+                                  np.asarray(getattr(b, field))])
+            np.testing.assert_array_equal(got, np.asarray(getattr(r,
+                                                                  field)))
+
+    # indivisible global batch raises rather than silently dropping rows
+    import pytest
+    with pytest.raises(ValueError):
+        next(train_loop.host_sharded_batches(
+            arrays, 9, np.random.default_rng(0),
+            process_index=0, process_count=2))
+
+
+def test_global_from_host_shards_matches_shard_batch():
+    """Single-process global_from_host_shards (the multi-host input
+    boundary, make_array_from_process_local_data) builds the same sharded
+    global batch as a plain sharded device_put."""
+    _, arrays, _, _ = _setup()
+    B = 8
+    raw = next(train_loop.batches_from_arrays(
+        arrays, B, np.random.default_rng(3)))
+    local = next(train_loop.host_sharded_batches(
+        arrays, B, np.random.default_rng(3),
+        process_index=0, process_count=1))
+    mesh = meshlib.make_mesh(num_data=4)
+    via_put = meshlib.shard_batch(
+        train_loop.RawBatch(*(jnp.asarray(x) for x in raw)), mesh)
+    via_global = meshlib.global_from_host_shards(local, mesh, B)
+    for field in train_loop.RawBatch._fields:
+        a, b = getattr(via_global, field), getattr(via_put, field)
+        assert a.sharding == b.sharding, field
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

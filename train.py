@@ -190,11 +190,16 @@ def main(argv=None):
     while t < cfg.train.num_iterations:
         epoch += 1
         print(f"Starting epoch {epoch}")
-        for raw in train_loop.batches_from_arrays(arrays, bs, rng_np):
+        # per-host sharded input pipeline: each host iterates only its
+        # disjoint shard of the shared global permutation and contributes
+        # its rows via make_array_from_process_local_data (single-process
+        # runs degenerate to the full batch) — SURVEY §2.10's multi-host
+        # plan replacing the reference's 8-worker DataLoader
+        for raw in train_loop.host_sharded_batches(arrays, bs, rng_np):
             if t >= cfg.train.num_iterations:
                 break
             t += 1
-            raw = meshlib.shard_batch(raw, mesh)
+            raw = meshlib.global_from_host_shards(raw, mesh, bs)
             # switch to frozen-BN steps past --eval_mode_after
             # (reference train.py:63-65)
             active_step = step_fn
