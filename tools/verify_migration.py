@@ -39,12 +39,19 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--stage",
                     default=os.path.join(REPO, "artifacts", "ref_baseline"))
+    ap.add_argument("--results", default="results.json",
+                    help="torch eval results file within --stage (e.g. "
+                         "results_migration_200.json for a smoke-trained "
+                         "checkpoint)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (e.g. while the TPU is "
+                         "held by another process)")
     ap.add_argument("--tol_acc", type=float, default=0.02)
     ap.add_argument("--tol_l1", type=float, default=0.01)
     args = ap.parse_args(argv)
     stage = os.path.abspath(args.stage)
 
-    results_path = os.path.join(stage, "results.json")
+    results_path = os.path.join(stage, args.results)
     val_json = os.path.join(stage, "data_rot_val.json")
     mean_cov_pkl = os.path.join(stage, "layouts_out", "mean_cov.pkl")
     for p in (results_path, val_json, mean_cov_pkl):
@@ -58,6 +65,9 @@ def main(argv=None):
 
     import jax
 
+    if args.cpu:
+        # the axon plugin ignores JAX_PLATFORMS; the config knob works
+        jax.config.update("jax_platforms", "cpu")
     # parity vs torch accumulates in reduced precision otherwise
     jax.config.update("jax_default_matmul_precision", "highest")
 
