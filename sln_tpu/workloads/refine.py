@@ -167,6 +167,19 @@ def make_refine_step(model, batch_stats, batch: SceneBatch, model_idx,
     (B, 70, S, S); size_targets: (B, O, 3); room_row_gt: (B, 1, 6).
     Each scene renders independently (vmapped, including the Pallas
     rasterizer); the optimizer moves on the mean of per-scene totals.
+
+    DELIBERATE B>1 SEMANTICS DEVIATION: the reference fine-tunes the
+    model parameters PER ROOM (test_render_refine.py:286 re-creates the
+    optimizer per room), while this batched serving configuration shares
+    ONE set of model params across the B rooms and steps them on the
+    mean of per-room gradients (each room's z row still gets its own
+    per-room gradient — z coupling across rooms is zero). At the
+    reference hyperparameters the params move at lr/10 for 60 iters, so
+    the cross-room coupling is tiny, but it is not bit-equal to running
+    the rooms separately; use B=1 (or one make_refine_step per room) for
+    strict reference semantics. tests/test_refine.py pins both: B=1 ==
+    reference protocol, and the B>1 z-rows == their B=1 counterparts
+    when lr_model_scale=0 (params frozen -> rooms fully decouple).
     """
     import dataclasses
 

@@ -47,6 +47,17 @@ def parse_args(argv=None):
                         "artifacts/spade_gan.ckpt (skipped if trained at "
                         "other dims than --spade_crop/--spade_ngf), then "
                         "random init")
+    p.add_argument("--refine_render_size", default=0, type=int,
+                   help="override RefineConfig.render_size for --fine_tune "
+                        "(256 = strict reference parity; default 96 = the "
+                        "loss-pyramid top)")
+    p.add_argument("--refine_pyramid", default="", type=str,
+                   help="comma-separated PSP pyramid sizes for --fine_tune "
+                        "(default 32,48,64,96; reference "
+                        "test_render_refine.py:192-217)")
+    p.add_argument("--refine_iters", default=0, type=int,
+                   help="override RefineConfig.num_iters for --fine_tune "
+                        "(default 60, reference test_render_refine.py:269)")
     p.add_argument("--room_ids", default="", type=str,
                    help="comma-separated room ids for --fine_tune")
     p.add_argument("--save_semantic_gifs", action="store_true",
@@ -113,10 +124,21 @@ def parse_args(argv=None):
 
 
 def build_cfg(args):
+    import dataclasses as dc
+
     from sln_tpu.config import (DataConfig, ModelConfig, SpadeConfig,
                                 TrainConfig, default_config)
     cfg = default_config()
+    refine = cfg.refine
+    if getattr(args, "refine_render_size", 0):
+        refine = dc.replace(refine, render_size=args.refine_render_size)
+    if getattr(args, "refine_pyramid", ""):
+        refine = dc.replace(refine, pyramid_sizes=tuple(
+            int(s) for s in args.refine_pyramid.split(",") if s))
+    if getattr(args, "refine_iters", 0):
+        refine = dc.replace(refine, num_iters=args.refine_iters)
     return cfg.replace(
+        refine=refine,
         model=ModelConfig(
             embedding_dim=args.embedding_dim,
             gconv_num_layers=args.gconv_num_layers,

@@ -69,11 +69,30 @@ def test_draw_2d_mode(test_dir):
     assert os.path.getsize(demo) > 0
 
 
+def test_fine_tune_mode(test_dir):
+    """CLI glue for --fine_tune at tiny dims (--refine_render_size 32 +
+    a 16,32 pyramid keep the CPU compile small): the z_value/bbox_rot
+    artifact set (reference test_render_refine.py:282-283,369-377) must
+    appear under <test_dir>/data/finetune/<room>/."""
+    test_cli.main(COMMON + ["--test_dir", test_dir, "--fine_tune",
+                            "--refine_render_size", "32",
+                            "--refine_pyramid", "16,32",
+                            "--refine_iters", "2"])
+    base = os.path.join(test_dir, "data", "finetune")
+    rooms = os.listdir(base)
+    assert rooms, "fine_tune wrote no room dirs"
+    d = os.path.join(base, rooms[0])
+    for f in ("z_value.pkl", "bbox_rot_0.pkl", "bbox_rot_1.pkl",
+              "bbox_rot_gt.pkl"):
+        assert os.path.isfile(os.path.join(d, f)), f
+    # the channel-image artifacts (target + first/last iteration)
+    pngs = [f for f in os.listdir(d) if f.endswith(".png")]
+    assert any("target" in f for f in pngs)
+
+
 def test_gan_shade_mode(test_dir):
     """CLI glue for --gan_shade at tiny dims ('random' sentinel keeps it
-    hermetic; --spade_crop/--spade_ngf size the generator). --fine_tune is
-    exercised through tests/test_refine.py instead — its CLI path compiles
-    the full 96px refinement loop, too slow for a CPU smoke."""
+    hermetic; --spade_crop/--spade_ngf size the generator)."""
     test_cli.main(COMMON + ["--test_dir", test_dir, "--gan_shade",
                             "--spade_checkpoint", "random",
                             "--spade_crop", "64", "--spade_ngf", "8",

@@ -199,3 +199,77 @@ def test_refine_loop_runs_and_writes_artifacts(tmp_path):
                   if f.startswith("011_") and f.endswith(".gif")
                   and "depth" not in f]
     assert class_gifs, "per-class mask GIFs missing"
+
+
+def test_batched_rooms_decouple_with_frozen_params():
+    """B>1 batched refinement shares ONE set of model params across rooms
+    (a documented deviation: the reference fine-tunes params per room,
+    test_render_refine.py:286). With lr_model_scale=0 (params frozen) the
+    rooms must fully decouple: each z row of a B=3 run equals the z of
+    its own B=1 run. This pins both that z gradients never mix across
+    rooms AND that the only cross-room coupling is the shared-params
+    update."""
+    import dataclasses
+
+    import jax
+    import optax
+
+    from sln_tpu.data.augment import build_graphs
+    from sln_tpu.models.vae import Sg2ScVAE
+    from sln_tpu.render import assets, scene as scene_lib
+
+    cfg = default_config()
+    cfg = cfg.replace(
+        data=DataConfig(max_objects=10, max_triples=30, max_on_rels=10),
+        render=RenderConfig(camera=CameraConfig(image_size=32),
+                            mesh_subdiv=0, shell_subdiv=1),
+        refine=dataclasses.replace(default_config().refine,
+                                   render_size=32, pyramid_sizes=(16, 32),
+                                   lr_model_scale=0.0,
+                                   # noise draws depend on the batch
+                                   # SHAPE (normal(key, (B, O)) row b !=
+                                   # normal(key, (1, O))), so zero it for
+                                   # the cross-batch-size comparison
+                                   angle_noise_scale=0.0))
+    val_arrays, size_info = common.load_arrays(8, cfg, synthetic_seed=5)
+    B = 3
+
+    def make_batch(sl):
+        return build_graphs(
+            jax.random.PRNGKey(0), jnp.asarray(val_arrays["objs"][sl]),
+            jnp.asarray(val_arrays["boxes"][sl]),
+            jnp.asarray(val_arrays["angles"][sl]),
+            jnp.asarray(val_arrays["obj_mask"][sl]),
+            jnp.asarray(val_arrays["room_ids"][sl]), size_info,
+            max_on_rels=cfg.data.max_on_rels)
+
+    bank_host = assets.build_procedural_bank(0)
+    bank = scene_lib.device_bank(bank_host, 1)
+    rcfg = dataclasses.replace(cfg.render, camera=dataclasses.replace(
+        cfg.render.camera, image_size=32))
+
+    model = Sg2ScVAE(cfg.model)
+
+    def run(sl, steps=4):
+        batch = make_batch(sl)
+        nb = batch.objs.shape[0]
+        variables = model.init(jax.random.PRNGKey(0), batch, None, False)
+        inputs = refine.prepare_refine_inputs(batch, bank_host, bank, rcfg)
+        tx, _, _, run_scan = refine.make_refine_step(
+            model, variables.get("batch_stats", {}), batch, inputs[0],
+            bank, inputs[1], inputs[2], inputs[3], cfg)
+        z0 = jnp.zeros((nb, batch.max_objects, cfg.model.latent_dim))
+        opt = tx.init((z0, variables["params"]))
+        state = refine.RefineState(z0, variables["params"], opt,
+                                   jnp.zeros((), jnp.int32))
+        keys = jnp.stack([jax.random.PRNGKey(7)] * steps)  # same key/iter
+        state, _ = run_scan(state, keys)
+        return np.asarray(state.z)
+
+    # NOTE: per-room keys must match between the joint and single runs,
+    # hence the constant key stack (angle noise is the only rng consumer)
+    z_joint = run(slice(0, B))
+    for b in range(B):
+        z_single = run(slice(b, b + 1))
+        np.testing.assert_allclose(z_joint[b], z_single[0], rtol=2e-5,
+                                   atol=2e-6)
