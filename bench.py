@@ -155,7 +155,13 @@ def bench_refine_iou(num_rooms: int = 8, sigma: float = 1.0) -> dict:
     testing/test_utils.py:33-40) decoded before vs after the 60-iter
     reference-hyperparameter loop, starting from a sigma-perturbed
     GT-encoded z (the eval_refinement_quality protocol). Uses the
-    committed trained checkpoint."""
+    committed trained checkpoint.
+
+    Expected value ~0 (+0.001) on this data: the controlled sweep
+    (tools/sweep_refinement.py -> artifacts/refine_sweep.json) shows
+    decoded IoU at the exact GT z is BELOW the perturbed start, so no
+    z-space refinement can improve IoU here — this line guards that the
+    loop doesn't *hurt* (and pins the ~2.5% render-loss cut)."""
     import jax
 
     from sln_tpu.config import DataConfig, TrainConfig, default_config

@@ -7,17 +7,28 @@ loss before/after — the loop's actual objective (reference
 test_render_refine.py optimizes multi-scale depth/semantic agreement,
 NOT box-parameter error) — plus (b) box-L1/z-distance diagnostics.
 
-Measured behavior on synthetic data (v5e, 2026-08): the loop reliably
-cuts its render loss ~12-13% in 60 reference-hyperparameter iterations
-on both a 3k-iteration checkpoint (KLD_raw ~9.7) and a 20k
---KL_free_bits 0.05 checkpoint (KLD_raw ~2.9, where plain training
-collapses to ~1e-4). Box-L1 recovery through z is weak on BOTH: the
-synthetic scene graphs nearly determine the layout, so the decoder
-leans on the graph and box outputs respond only mildly to z (free bits
-keeps the KL up but cannot force the decoder to rely on z). The z
-learning rate of 2e-4 x 60 iters (reference :286) moves z by <1e-3
-either way — the reference's refinement is a render-alignment nudge,
-not a latent-space correction.
+Measured behavior on synthetic data (v5e, 2026-08): the reference's
+refinement is a render-alignment nudge, not a latent-space correction.
+Box-L1 recovery through z is weak everywhere: the synthetic scene
+graphs nearly determine the layout, so the decoder leans on the graph
+and box outputs respond only mildly to z (free bits keeps the KL up
+but cannot force the decoder to rely on z); the z learning rate of
+2e-4 x 60 iters (reference :286) moves z by <1e-3.
+
+On the SHIPPED checkpoint (artifacts/latest_bench_with_model.ckpt) the
+controlled sweep tools/sweep_refinement.py -> artifacts/refine_sweep.json
+(lr_z 2e-4..0.1, 60/240 iters, sigma 0.5/1/2, 8 rooms) settles the
+layout-IoU question: NO configuration reaches +0.01 IoU, and none can —
+decoding the exact GT-encoded z scores LOWER rotated-cuboid IoU (0.122)
+than the sigma=1-perturbed start (0.1234), i.e. the encode/decode round
+trip itself loses more IoU than the perturbation does, so +IoU through
+z is unreachable by construction. The reference hyperparameters give
+iou_delta +0.001 with a ~2.5% render-loss cut on this checkpoint
+(bench.py refine_iou_delta ~0 is therefore expected behavior, not a
+regression); the best sweep row is +0.004 (sigma=2, from a much worse
+start). The larger ~12-16% render-loss cuts quoted in earlier notes
+were measured on OTHER checkpoints (3k plain / 20k free-bits) whose
+initial renders sit further from the target.
 
 Usage:
   python tools/eval_refinement_quality.py --output_dir <ckpt dir> \
