@@ -9,6 +9,15 @@ psums, masked-BN stat sums) automatically under jit.
 The 'model' axis is available for tensor-parallel sharding of the MLP
 hidden dimension (gconv_hidden weights) when the model is scaled up; at the
 reference's ~4M params it is typically 1.
+
+Scaling past one slice: `make_multislice_mesh` builds the hybrid
+('slice', 'data', 'model') mesh where 'slice' is the DCN dimension —
+data parallelism spans slices (hierarchical ICI-then-DCN gradient
+reduce), tensor parallelism never leaves a slice. Everything downstream
+is topology-agnostic: `batch_sharding`/`shard_batch` shard the batch
+axis over whatever data axes the mesh has (`data_axes`), and the train
+step itself is plain jit — XLA's SPMD partitioner picks the collectives
+from the mesh.
 """
 
 from __future__ import annotations
@@ -21,6 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SLICE_AXIS = "slice"
 
 
 def make_mesh(num_data: Optional[int] = None, num_model: int = 1,
@@ -34,9 +44,64 @@ def make_mesh(num_data: Optional[int] = None, num_model: int = 1,
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_multislice_mesh(num_slices: int,
+                         data_per_slice: Optional[int] = None,
+                         num_model: int = 1, devices=None) -> Mesh:
+    """Hybrid DCN x ICI mesh for multi-slice TPU pods.
+
+    Axis order is ('slice', 'data', 'model') with 'slice' OUTERMOST. The
+    batch axis shards over (SLICE_AXIS, DATA_AXIS) jointly
+    (`batch_sharding`), so the only collective that crosses the slice
+    boundary is the gradient/BN-stat reduction over the batch axes — XLA
+    lowers it hierarchically (reduce within each slice over ICI, then one
+    small cross-slice sum over DCN, the scaling-book multi-slice DP
+    recipe) — while the tensor-parallel 'model' collectives (the per-layer
+    row-parallel reduces, which are latency-sensitive) stay strictly
+    inside a slice because 'model' is innermost.
+
+    On real multi-slice hardware jax devices carry a `slice_index`;
+    devices are grouped by it so each mesh plane [s, :, :] holds exactly
+    one slice's chips (the create_hybrid_device_mesh contract). On
+    single-slice or virtual-CPU backends (the driver dryrun) contiguous
+    grouping simulates the topology — sharding-equivalent, merely
+    bandwidth-oblivious.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if data_per_slice is None:
+        data_per_slice = len(devices) // (num_slices * num_model)
+    per_slice = data_per_slice * num_model
+    need = num_slices * per_slice
+    assert 0 < need <= len(devices), (
+        f"mesh {num_slices}x{data_per_slice}x{num_model} > "
+        f"{len(devices)} devices")
+
+    groups: dict = {}
+    for d in devices:
+        groups.setdefault(getattr(d, "slice_index", None), []).append(d)
+    if len(groups) >= num_slices and None not in groups:
+        ordered = []
+        for s in sorted(groups)[:num_slices]:
+            assert len(groups[s]) >= per_slice, (
+                f"slice {s} has {len(groups[s])} devices, need {per_slice}")
+            ordered.extend(groups[s][:per_slice])
+    else:  # single slice / CPU: contiguous simulation
+        ordered = devices[:need]
+    grid = np.asarray(ordered).reshape(num_slices, data_per_slice,
+                                       num_model)
+    return Mesh(grid, (SLICE_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
+def data_axes(mesh: Mesh) -> tuple:
+    """The mesh axes the batch dimension shards over: ('slice', 'data')
+    on a multi-slice mesh, ('data',) otherwise."""
+    return tuple(a for a in (SLICE_AXIS, DATA_AXIS)
+                 if a in mesh.axis_names)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis of every array over the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Shard the leading (batch) axis of every array over the data axis
+    (jointly over slice+data on a multi-slice mesh)."""
+    return NamedSharding(mesh, P(data_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -401,9 +401,13 @@ def colorize(model, params, spade_input: np.ndarray, num_z: int,
         params = meshlib.replicate(params, mesh)
         seg = jax.device_put(seg, meshlib.replicated(mesh))
         # chunk rows (axis 1 of the stacked (C, chunk, nz)) shard over
-        # the data axis; the chunk axis is the scan axis
-        z_sharding = NamedSharding(mesh, P(None, meshlib.DATA_AXIS))
-        pad_to = mesh.shape[meshlib.DATA_AXIS]
+        # the data axis (jointly over slice+data on a multi-slice mesh);
+        # the chunk axis is the scan axis
+        axes = meshlib.data_axes(mesh)
+        z_sharding = NamedSharding(mesh, P(None, axes))
+        pad_to = 1
+        for a in axes:
+            pad_to *= mesh.shape[a]
 
     # the whole room is ONE device program: the z stream is drawn in
     # fixed-size chunks via fold_in(key, chunk_idx) (identical for the

@@ -95,6 +95,48 @@ def test_spmd_step_matches_single_device():
                                    rtol=0, atol=2.5e-3)
 
 
+def test_multislice_step_matches_single_device():
+    """The hybrid DCN x ICI mesh (2 slices x 2 data x 2 model on the 8
+    virtual CPU devices): dp spans the slice boundary, tp stays inside a
+    slice. Same step program as test_spmd_step_matches_single_device —
+    XLA picks hierarchical collectives from the mesh; the numbers must
+    not care."""
+    from sln_tpu.parallel import sharding as shardlib
+
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    cfg, arrays, size_info, example = _setup(batch_size=16, num_rooms=16)
+    model, state, tx = train_loop.create_state(cfg, jax.random.PRNGKey(0),
+                                               example)
+    step = train_loop.make_train_step(model, tx, cfg, size_info)
+    raw = next(train_loop.batches_from_arrays(arrays, 16,
+                                              np.random.default_rng(0)))
+
+    s1, l1 = step(jax.tree.map(jnp.copy, state), raw, jax.random.PRNGKey(1))
+
+    mesh = meshlib.make_multislice_mesh(num_slices=2, data_per_slice=2,
+                                        num_model=2)
+    assert mesh.axis_names == (meshlib.SLICE_AXIS, meshlib.DATA_AXIS,
+                               meshlib.MODEL_AXIS)
+    # batch shards jointly over (slice, data); params follow the TP rules
+    raw_sharded = meshlib.shard_batch(raw, mesh)
+    state_ms = train_loop.TrainState(
+        params=shardlib.shard_params(
+            jax.tree.map(jnp.copy, state.params), mesh),
+        batch_stats=shardlib.shard_params(
+            jax.tree.map(jnp.copy, state.batch_stats), mesh),
+        opt_state=shardlib.shard_params(
+            jax.tree.map(jnp.copy, state.opt_state), mesh),
+        step=jax.device_put(state.step, meshlib.replicated(mesh)))
+    s8, l8 = step(state_ms, raw_sharded, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(l1["total_loss"]),
+                               float(l8["total_loss"]), rtol=1e-5)
+    # same Adam near-zero-grad bound as the dp x tp equality test
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2.5e-3)
+
+
 def test_microbatch_accumulation_matches_manual_loop():
     """cfg.train.microbatch runs the step as a scan of chunk fwd/bwd with
     one update. Replicate it by hand through the public pieces — per-chunk
