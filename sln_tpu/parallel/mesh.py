@@ -61,10 +61,14 @@ def make_multislice_mesh(num_slices: int,
 
     On real multi-slice hardware jax devices carry a `slice_index`;
     devices are grouped by it so each mesh plane [s, :, :] holds exactly
-    one slice's chips (the create_hybrid_device_mesh contract). On
-    single-slice or virtual-CPU backends (the driver dryrun) contiguous
-    grouping simulates the topology — sharding-equivalent, merely
-    bandwidth-oblivious.
+    one slice's chips (delegating to mesh_utils.create_hybrid_device_mesh
+    when the requested mesh uses every device, which also orders chips
+    within a slice for ICI bandwidth). Requesting more slices than the
+    devices actually span is an ERROR, never silently simulated — a
+    contiguous fallback could put a DCN hop inside the 'model' axis. On
+    single-real-slice or virtual-CPU backends (the driver dryrun)
+    contiguous grouping simulates the topology — sharding-equivalent,
+    merely bandwidth-oblivious (no DCN boundary exists to misalign with).
     """
     devices = list(devices if devices is not None else jax.devices())
     if data_per_slice is None:
@@ -78,16 +82,37 @@ def make_multislice_mesh(num_slices: int,
     groups: dict = {}
     for d in devices:
         groups.setdefault(getattr(d, "slice_index", None), []).append(d)
-    if len(groups) >= num_slices and None not in groups:
-        ordered = []
-        for s in sorted(groups)[:num_slices]:
-            assert len(groups[s]) >= per_slice, (
-                f"slice {s} has {len(groups[s])} devices, need {per_slice}")
-            ordered.extend(groups[s][:per_slice])
-    else:  # single slice / CPU: contiguous simulation
-        ordered = devices[:need]
-    grid = np.asarray(ordered).reshape(num_slices, data_per_slice,
-                                       num_model)
+    if None not in groups and len(groups) > 1:
+        # Devices genuinely span multiple real slices: the topology
+        # contract is STRICT — never simulate here, a contiguous
+        # fallback could let 'model' (TP, latency-sensitive) span a DCN
+        # boundary silently.
+        assert len(groups) >= num_slices, (
+            f"requested {num_slices} slices but the devices span only "
+            f"{len(groups)} (slice_index values {sorted(groups)})")
+        if (len(groups) == num_slices
+                and all(len(g) == per_slice for g in groups.values())):
+            # exact fit: delegate to mesh_utils, which additionally
+            # orders devices within each slice for ICI bandwidth
+            from jax.experimental import mesh_utils
+            grid = mesh_utils.create_hybrid_device_mesh(
+                (1, data_per_slice, num_model), (num_slices, 1, 1),
+                devices=devices)
+        else:
+            # subset of each slice (mesh_utils requires exact division)
+            ordered = []
+            for s in sorted(groups)[:num_slices]:
+                assert len(groups[s]) >= per_slice, (
+                    f"slice {s} has {len(groups[s])} devices, "
+                    f"need {per_slice}")
+                ordered.extend(groups[s][:per_slice])
+            grid = np.asarray(ordered).reshape(
+                num_slices, data_per_slice, num_model)
+    else:
+        # single real slice or virtual CPU: contiguous simulation is
+        # harmless (no DCN boundary exists to misalign with)
+        grid = np.asarray(devices[:need]).reshape(
+            num_slices, data_per_slice, num_model)
     return Mesh(grid, (SLICE_AXIS, DATA_AXIS, MODEL_AXIS))
 
 

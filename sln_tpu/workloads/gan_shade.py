@@ -367,6 +367,31 @@ def _colorize_room_fn(model, out_dtype: str = "float32", _cache={}):
     return _cache[(model, out_dtype)]
 
 
+def _draw_zs(key, n_chunks: int, z_chunk: int, n_pad: int, nz: int,
+             _cache={}):
+    """All chunks' z in ONE device program: vmap of the per-chunk
+    fold_in(key, i) draw, each chunk zero-padded to n_pad rows —
+    bit-identical to drawing the chunks one at a time on the host
+    (threefry is deterministic per (key, shape), pinned by
+    tests/test_gan_shade.py), but without the per-chunk dispatch+fetch
+    roundtrip (~25 ms each over the axon tunnel) the host loop paid."""
+    import jax
+    import jax.numpy as jnp
+
+    shape = (n_chunks, z_chunk, n_pad, nz)
+    if shape not in _cache:
+        def draw(key):
+            def one(i):
+                z = jax.random.normal(jax.random.fold_in(key, i),
+                                      (z_chunk, nz))
+                return jnp.pad(z, ((0, n_pad - z_chunk), (0, 0)))
+
+            return jax.vmap(one)(jnp.arange(n_chunks))
+
+        _cache[shape] = jax.jit(draw)
+    return _cache[shape](key)
+
+
 def colorize(model, params, spade_input: np.ndarray, num_z: int,
              z_chunk: int = 10, seed: int = 0, mesh=None,
              out_dtype: str = "float32") -> np.ndarray:
@@ -405,22 +430,17 @@ def colorize(model, params, spade_input: np.ndarray, num_z: int,
         # the chunk axis is the scan axis
         axes = meshlib.data_axes(mesh)
         z_sharding = NamedSharding(mesh, P(None, axes))
-        pad_to = 1
         for a in axes:
             pad_to *= mesh.shape[a]
 
-    # the whole room is ONE device program: the z stream is drawn in
-    # fixed-size chunks via fold_in(key, chunk_idx) (identical for the
-    # sharded and single-device paths), padded with discarded rows up to
-    # a data-axis multiple, and stacked along the scan axis
+    # the z stream is drawn in fixed-size chunks via fold_in(key,
+    # chunk_idx) (identical for the sharded and single-device paths),
+    # padded with discarded rows up to a data-axis multiple, and stacked
+    # along the scan axis — all in one device program, never fetched
     key = jax.random.PRNGKey(seed)
     n_chunks = -(-num_z // z_chunk)
     n_pad = ((z_chunk + pad_to - 1) // pad_to) * pad_to
-    zs = np.zeros((n_chunks, n_pad, model.nz), np.float32)
-    for i in range(n_chunks):
-        zs[i, :z_chunk] = np.asarray(jax.random.normal(
-            jax.random.fold_in(key, i), (z_chunk, model.nz)))
-    zs = jnp.asarray(zs)
+    zs = _draw_zs(key, n_chunks, z_chunk, n_pad, model.nz)
     if z_sharding is not None:
         zs = jax.device_put(zs, z_sharding)
 

@@ -195,16 +195,26 @@ def test_train_spade_cli_roundtrip_and_resume(tmp_path):
     assert slim4["config"]["val_split"] == slim3["config"]["val_split"]
     assert slim4["config"]["val_heldout_clean"] is False
 
-    # the split identity hashes file contents (size/mtime), not just
-    # names: replacing a pair file in place changes the val_split source
+    # metadata-only churn (rsync/git-checkout style mtime bumps with
+    # identical bytes) must NOT change the split identity or taint
     import os
     p0 = pairs / "0.npz"
-    np.savez(p0, seg=rng.uniform(0, 1, (32, 32, 41)).astype(np.float32),
-             rgb=rng.uniform(-1, 1, (32, 32, 3)).astype(np.float32))
     os.utime(p0, (os.path.getatime(p0), os.path.getmtime(p0) + 10))
     main(base_half + ["--resume", str(art)])
     with open(art, "rb") as f:
         slim5 = pickle.load(f)
     assert (slim5["config"]["val_split"]["source"]
-            != slim4["config"]["val_split"]["source"])
-    assert slim5["config"]["val_heldout_clean"] is False
+            == slim4["config"]["val_split"]["source"])
+
+    # the split identity hashes file CONTENTS: rewriting a pair file in
+    # place changes the source even when size AND mtime are preserved
+    st = os.stat(p0)
+    np.savez(p0, seg=rng.uniform(0, 1, (32, 32, 41)).astype(np.float32),
+             rgb=rng.uniform(-1, 1, (32, 32, 3)).astype(np.float32))
+    os.utime(p0, (st.st_atime, st.st_mtime))
+    main(base_half + ["--resume", str(art)])
+    with open(art, "rb") as f:
+        slim6 = pickle.load(f)
+    assert (slim6["config"]["val_split"]["source"]
+            != slim5["config"]["val_split"]["source"])
+    assert slim6["config"]["val_heldout_clean"] is False

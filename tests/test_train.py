@@ -137,6 +137,23 @@ def test_multislice_step_matches_single_device():
                                    rtol=0, atol=2.5e-3)
 
 
+def test_multislice_mesh_refuses_simulation_across_real_slices():
+    """When devices genuinely span multiple REAL slices (slice_index set),
+    asking for more slices than the hardware spans must be an error, not
+    a silent contiguous simulation: a contiguous fallback could put a DCN
+    hop inside the latency-sensitive 'model' axis."""
+    import pytest
+
+    class FakeDev:
+        def __init__(self, s):
+            self.slice_index = s
+
+    devs = [FakeDev(s) for s in (0, 0, 0, 0, 1, 1, 1, 1)]
+    with pytest.raises(AssertionError, match="span only"):
+        meshlib.make_multislice_mesh(num_slices=4, data_per_slice=1,
+                                     num_model=2, devices=devs)
+
+
 def test_microbatch_accumulation_matches_manual_loop():
     """cfg.train.microbatch runs the step as a scan of chunk fwd/bwd with
     one update. Replicate it by hand through the public pieces — per-chunk

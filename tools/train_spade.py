@@ -132,12 +132,19 @@ def main(argv=None):
     if args.pairs_dir:
         names = sorted(f for f in os.listdir(args.pairs_dir)
                        if f.endswith(".npz"))
-        # size+mtime per file so replacing a file's CONTENTS in place
-        # (same name) changes the split identity too
+        # content digest per file: rewriting a file's CONTENTS in place
+        # (same name, even same size/mtime) changes the split identity,
+        # while metadata churn that keeps bytes identical (rsync, git
+        # checkout touching mtimes) does NOT spuriously taint resumes
+        def _digest(path):
+            h = hashlib.sha1()
+            with open(path, "rb") as fh:
+                for block in iter(lambda: fh.read(1 << 20), b""):
+                    h.update(block)
+            return h.hexdigest()[:12]
+
         src = "pairs:" + ",".join(
-            "%s:%d:%d" % (f, os.path.getsize(os.path.join(args.pairs_dir, f)),
-                          int(os.path.getmtime(os.path.join(args.pairs_dir,
-                                                            f))))
+            "%s:%s" % (f, _digest(os.path.join(args.pairs_dir, f)))
             for f in names)
     else:
         src = f"synthetic:{args.synthetic or 32}:{args.crop}"

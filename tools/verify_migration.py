@@ -131,6 +131,14 @@ def main(argv=None):
         report["ok"] = report["ok"] and ok
         print(f"{name:10} {rv:9.4f} {ov:9.4f} {ov - rv:+8.4f} "
               f"{tol:.3g} {'ok' if ok else 'MISMATCH'}")
+    if not report["deltas"]:
+        # a partial/empty reference results.json (e.g. the baseline run
+        # crashed mid-eval) must not produce a vacuous MIGRATION OK
+        report["ok"] = False
+        report["error"] = ("reference eval has no comparable metrics "
+                           f"(keys: {sorted(ref)})")
+        print("no comparable metrics in the reference results:",
+              sorted(ref))
     # std on the torch side, if the baseline eval recorded it
     for k in ("std_pos", "std_angle", "std_size"):
         if k in ref:
