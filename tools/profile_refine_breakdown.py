@@ -80,8 +80,8 @@ def main():
 
     rcfg = dc.replace(cfg.render, camera=dc.replace(
         cfg.render.camera, image_size=args.render_size))
-    bank_host = assets.build_procedural_bank(0)
-    bank = scene_lib.device_bank(bank_host, 1)
+    bank_host = assets.build_procedural_bank(cfg.render.mesh_subdiv)
+    bank = scene_lib.device_bank(bank_host, cfg.render.shell_subdiv)
     midx, target, size_t, room_row = refine.prepare_refine_inputs(
         batch, bank_host, bank, rcfg)
 
@@ -221,6 +221,56 @@ def main():
 
     timed_scan(exact_z, z0, args.steps, "exact_grad_z")
 
+    # --- bisect composite (1.2 ms) -> exact (3.0 ms): which addition? ---
+    def forward_ablate(z, p, key, hooks=True, noise=True, size=True,
+                       weights=True):
+        boxes, angle_lp = model.apply(
+            {"params": p, "batch_stats": batch_stats}, z, batch, False,
+            method=Sg2ScVAE.decode)
+        if hooks:
+            boxes = refine.fix_grad(boxes)
+        boxes = jnp.where(room_mask[..., None], room_row, boxes)
+        ang = refine.softargmax(angle_lp, ref.softargmax_beta)
+        if noise:
+            ang = ang + (jax.random.normal(key, ang.shape)
+                         * ref.angle_noise_scale)
+        if hooks:
+            ang = refine.quad_grad(ang)
+        ang = jnp.where(room_mask, angles_gt_f, ang)
+        imgs = render_b2(batch.objs, boxes, ang, batch.obj_mask, midx)
+        d, s = jax.vmap(lambda i, tg: refine.refine_losses_pre(
+            i, *tg, ref.pyramid_sizes))(imgs, tg_pyr)
+        d, s = d.mean(), s.mean()
+        total = (d * 2.0 * ref.depth_loss_weight
+                 + s * 800.0 * ref.semantic_loss_weight) if weights \
+            else d + s
+        if size:
+            room_dims = room_row[:, 0, 3:]
+            abs_size = ((boxes[..., 3:] - boxes[..., :3])
+                        * room_dims[:, None, :])
+            size_loss = (jnp.square(abs_size - size_t)
+                         * renderable[..., None]).sum(axis=(1, 2)) / 3.0
+            wall_sq = jnp.square(boxes - room_row)
+            wall = ((wall_sq * room_mask[..., None]).sum(axis=(1, 2))
+                    / (room_mask.sum(axis=1) * 6.0))
+            total = total + (size_loss + wall).mean() * ref.size_loss_weight
+        return total
+
+    import functools as ft
+
+    for name, kw in (("abl_nohooks", dict(hooks=False)),
+                     ("abl_nonoise", dict(noise=False)),
+                     ("abl_nosize", dict(size=False)),
+                     ("abl_noweights", dict(weights=False)),
+                     ("abl_all_on", dict())):
+        fa = ft.partial(forward_ablate, **kw)
+
+        def abl(zc, key, fa=fa):
+            g = jax.grad(lambda zz: fa(zz, params, key))(zc)
+            return zc - 1e-6 * g, ()
+
+        timed_scan(abl, z0, args.steps, name)
+
     def exact_zp(carry, key):
         zc, pc = carry
         gz, gp = jax.grad(forward_exact, argnums=(0, 1))(zc, pc, key)
@@ -290,6 +340,25 @@ def main():
                (z0, params, tx2.init((z0, params)),
                 jnp.zeros((), jnp.int32)),
                args.steps, "step_repro")
+
+    # same but the forward returns only the scalar aux dict (no imgs /
+    # boxes / ang in has_aux) — does the dead 18 MB aux output cost?
+    def forward_ref_slim(z, p, key):
+        total, (aux, _, _, _) = forward_ref(z, p, key)
+        return total, aux
+
+    def step_slim(state, key):
+        z, p, opt, st = state
+        (total, aux), grads = jax.value_and_grad(
+            forward_ref_slim, argnums=(0, 1), has_aux=True)(z, p, key)
+        updates, opt = tx2.update((grads[0], grads[1]), opt, (z, p))
+        nz, np_ = optax.apply_updates((z, p), updates)
+        return (nz, np_, opt, st + 1), aux
+
+    timed_scan(step_slim,
+               (z0, params, tx2.init((z0, params)),
+                jnp.zeros((), jnp.int32)),
+               args.steps, "step_slim_aux")
 
     # the real thing
     run_scan, state = _refine_scan(cfg, batch, model, batch_stats, params,
