@@ -205,6 +205,14 @@ struct Value {
   }
 };
 
+// Adversarial input (fuzz) hardening: real-data users feed this parser
+// untrusted room JSON, so every failure mode must be a clean -1, never
+// UB — bounded recursion (a "[[[[..." bomb would otherwise smash the
+// stack), bounded literal advances, and strict element-kind checks in
+// pack_rooms_json below. tests/test_native.py fuzz-tests all of it
+// against the Python fallback.
+constexpr int kMaxDepth = 192;
+
 struct Parser {
   const char* p;
   const char* end;
@@ -225,10 +233,21 @@ struct Parser {
     return false;
   }
 
-  Value parse() {
+  // expects the literal `lit` at p (first char already matched)
+  void literal(const char* lit, size_t len) {
+    if (static_cast<size_t>(end - p) < len ||
+        std::memcmp(p, lit, len) != 0) {
+      ok = false;
+      p = end;
+      return;
+    }
+    p += len;
+  }
+
+  Value parse(int depth = 0) {
     ws();
     Value v;
-    if (p >= end) {
+    if (p >= end || depth > kMaxDepth) {
       ok = false;
       return v;
     }
@@ -246,7 +265,7 @@ struct Parser {
         Value key = parse_string();
         if (!ok) break;
         consume(':');
-        Value val = parse();
+        Value val = parse(depth + 1);
         v.obj.emplace_back(key.str, std::move(val));
         ws();
         if (p < end && *p == ',') {
@@ -265,7 +284,7 @@ struct Parser {
         return v;
       }
       while (ok) {
-        v.arr.push_back(parse());
+        v.arr.push_back(parse(depth + 1));
         ws();
         if (p < end && *p == ',') {
           ++p;
@@ -279,12 +298,12 @@ struct Parser {
     } else if (c == 't') {
       v.kind = Value::kBool;
       v.num = 1;
-      p += 4;
+      literal("true", 4);
     } else if (c == 'f') {
       v.kind = Value::kBool;
-      p += 5;
+      literal("false", 5);
     } else if (c == 'n') {
-      p += 4;
+      literal("null", 4);
     } else {
       v.kind = Value::kNum;
       char* q = nullptr;
@@ -305,19 +324,68 @@ struct Parser {
     }
     ++p;
     while (p < end && *p != '"') {
-      if (*p == '\\' && p + 1 < end) {
+      unsigned char c = static_cast<unsigned char>(*p);
+      if (c < 0x20) {  // raw control chars are invalid JSON
+        ok = false;
+        return v;
+      }
+      if (c == '\\') {
+        if (p + 1 >= end) {
+          ok = false;
+          return v;
+        }
         ++p;
+        // strict JSON escape set — a lenient "pass anything through"
+        // here once let a fuzzed key with "\," merge two objects into
+        // data json.loads rejects (tests/test_native.py mutation fuzz)
         switch (*p) {
+          case '"': v.str.push_back('"'); break;
+          case '\\': v.str.push_back('\\'); break;
+          case '/': v.str.push_back('/'); break;
+          case 'b': v.str.push_back('\b'); break;
+          case 'f': v.str.push_back('\f'); break;
           case 'n': v.str.push_back('\n'); break;
+          case 'r': v.str.push_back('\r'); break;
           case 't': v.str.push_back('\t'); break;
-          default: v.str.push_back(*p);
+          case 'u': {
+            if (end - p < 5) {
+              ok = false;
+              return v;
+            }
+            unsigned cp = 0;
+            for (int i = 1; i <= 4; ++i) {
+              char h = p[i];
+              cp <<= 4;
+              if (h >= '0' && h <= '9') cp |= h - '0';
+              else if (h >= 'a' && h <= 'f') cp |= h - 'a' + 10;
+              else if (h >= 'A' && h <= 'F') cp |= h - 'A' + 10;
+              else { ok = false; return v; }
+            }
+            // ASCII escapes are decoded; anything beyond defers to the
+            // Python path (caller falls back on -1) rather than
+            // risking UTF-8/surrogate divergence from json.loads
+            if (cp >= 0x80) {
+              ok = false;
+              return v;
+            }
+            v.str.push_back(static_cast<char>(cp));
+            p += 4;
+            break;
+          }
+          default:
+            ok = false;
+            return v;
         }
       } else {
         v.str.push_back(*p);
       }
       ++p;
     }
-    if (p < end) ++p;
+    if (p >= end) {  // unterminated string
+      ok = false;
+      return v;
+    }
+    ++p;
     return v;
   }
 };
@@ -370,7 +438,10 @@ int64_t pack_rooms_json(const char* text, int64_t text_len,
                         int64_t max_rooms) {
   json::Parser parser{text, text + text_len};
   json::Value root = parser.parse();
-  if (!parser.ok || root.kind != json::Value::kObj) return -1;
+  parser.ws();
+  if (!parser.ok || root.kind != json::Value::kObj ||
+      parser.p != parser.end)  // trailing garbage after the root object
+    return -1;
 
   std::map<std::string, int32_t> name_to_idx;
   {
@@ -385,24 +456,37 @@ int64_t pack_rooms_json(const char* text, int64_t text_len,
     }
   }
 
-  // sort rooms by integer id (reference iterates sorted int keys)
-  std::vector<std::pair<long long, const json::Value*>> rooms;
-  rooms.reserve(root.obj.size());
+  // sort rooms by integer id (reference iterates sorted int keys); a
+  // non-integer or out-of-int32 key is a schema error (the Python path
+  // raises ValueError on int(key) — report -1 so the caller falls back
+  // to that clean error instead of silently packing id 0). A std::map
+  // keyed by id also reproduces json.loads' duplicate-key semantics
+  // (last occurrence wins).
+  std::map<long long, const json::Value*> room_map;
   for (const auto& kv : root.obj) {
-    rooms.emplace_back(std::strtoll(kv.first.c_str(), nullptr, 10),
-                       &kv.second);
+    char* key_end = nullptr;
+    long long id = std::strtoll(kv.first.c_str(), &key_end, 10);
+    if (kv.first.empty() || key_end != kv.first.c_str() + kv.first.size() ||
+        id < INT32_MIN || id > INT32_MAX)
+      return -1;
+    room_map[id] = &kv.second;
   }
-  std::sort(rooms.begin(), rooms.end(),
-            [](const auto& a, const auto& b) { return a.first < b.first; });
+  std::vector<std::pair<long long, const json::Value*>> rooms(
+      room_map.begin(), room_map.end());  // map iteration is id-sorted
 
   int64_t n_rooms = 0;
   const int O = max_objects;
   for (const auto& room_kv : rooms) {
     if (n_rooms >= max_rooms) break;
     const json::Value& room = *room_kv.second;
+    if (room.kind != json::Value::kObj) return -1;
     const json::Value* vobjs = room.find("valid_objects");
     const json::Value* bbox = room.find("bbox");
-    if (!vobjs || !bbox || bbox->arr.size() < 3) return -1;
+    if (!vobjs || vobjs->kind != json::Value::kArr || !bbox ||
+        bbox->kind != json::Value::kArr || bbox->arr.size() != 3)
+      return -1;
+    for (int i = 0; i < 3; ++i)
+      if (bbox->arr[i].kind != json::Value::kNum) return -1;
     double X = bbox->arr[0].num, Y = bbox->arr[1].num, Z = bbox->arr[2].num;
     int64_t r = n_rooms;
     room_ids[r] = static_cast<int32_t>(room_kv.first);
@@ -414,12 +498,25 @@ int64_t pack_rooms_json(const char* text, int64_t text_len,
     int n = 0;
     for (const auto& item : vobjs->arr) {
       if (n >= O - 1) break;
+      if (item.kind != json::Value::kObj) return -1;
       const json::Value* type = item.find("type");
       const json::Value* nb = item.find("new_bbox");
       const json::Value* rot = item.find("rotation");
-      if (!type || !nb || nb->arr.size() != 2) return -1;
+      if (!type || type->kind != json::Value::kStr || !nb ||
+          nb->kind != json::Value::kArr || nb->arr.size() != 2 ||
+          nb->arr[0].kind != json::Value::kArr ||
+          nb->arr[1].kind != json::Value::kArr ||
+          nb->arr[0].arr.size() != 3 || nb->arr[1].arr.size() != 3 ||
+          !rot || rot->kind != json::Value::kNum)
+        return -1;
+      for (int i = 0; i < 3; ++i)
+        if (nb->arr[0].arr[i].kind != json::Value::kNum ||
+            nb->arr[1].arr[i].kind != json::Value::kNum)
+          return -1;
       auto it = name_to_idx.find(type->str);
-      if (it == name_to_idx.end()) continue;
+      // the Python path raises KeyError on an unknown class name; match
+      // it with a clean error instead of silently dropping the object
+      if (it == name_to_idx.end()) return -1;
       objs[r * O + n] = it->second;
       const auto& lo = nb->arr[0].arr;
       const auto& hi = nb->arr[1].arr;
@@ -430,7 +527,11 @@ int64_t pack_rooms_json(const char* text, int64_t text_len,
       bx[3] = static_cast<float>(hi[0].num / X);
       bx[4] = static_cast<float>(hi[1].num / Y);
       bx[5] = static_cast<float>(hi[2].num / Z);
-      int rot_i = rot ? static_cast<int>(rot->num) : 0;
+      // double->int cast of a NaN/huge rotation is UB; the schema means
+      // a small integer, so anything else is a parse error
+      double rot_d = rot->num;
+      if (!(rot_d >= -1e9 && rot_d <= 1e9)) return -1;
+      int rot_i = static_cast<int>(rot_d);
       angles[r * O + n] = ((rot_i % 24) + 24) % 24;
       mask[r * O + n] = 1;
       ++n;

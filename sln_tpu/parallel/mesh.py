@@ -75,21 +75,34 @@ def make_multislice_mesh(num_slices: int,
         data_per_slice = len(devices) // (num_slices * num_model)
     per_slice = data_per_slice * num_model
     need = num_slices * per_slice
-    assert 0 < need <= len(devices), (
-        f"mesh {num_slices}x{data_per_slice}x{num_model} > "
-        f"{len(devices)} devices")
+    # user-facing topology validation raises ValueError (asserts are
+    # stripped under python -O, surfacing as an opaque reshape error)
+    if not 0 < need <= len(devices):
+        raise ValueError(f"mesh {num_slices}x{data_per_slice}x{num_model}"
+                         f" > {len(devices)} devices")
 
     groups: dict = {}
     for d in devices:
         groups.setdefault(getattr(d, "slice_index", None), []).append(d)
+    if None in groups and len(groups) > 1:
+        # A mix of devices with and without slice_index: neither the
+        # strict real-multi-slice branch nor the contiguous simulation
+        # is safe — refuse rather than silently simulating around real
+        # slice boundaries.
+        raise ValueError(
+            "device list mixes slice-indexed and sliceless devices "
+            f"(slice_index values {sorted(groups, key=repr)}); pass a "
+            "homogeneous device list")
     if None not in groups and len(groups) > 1:
         # Devices genuinely span multiple real slices: the topology
         # contract is STRICT — never simulate here, a contiguous
         # fallback could let 'model' (TP, latency-sensitive) span a DCN
         # boundary silently.
-        assert len(groups) >= num_slices, (
-            f"requested {num_slices} slices but the devices span only "
-            f"{len(groups)} (slice_index values {sorted(groups)})")
+        if len(groups) < num_slices:
+            raise ValueError(
+                f"requested {num_slices} slices but the devices span "
+                f"only {len(groups)} (slice_index values "
+                f"{sorted(groups)})")
         if (len(groups) == num_slices
                 and all(len(g) == per_slice for g in groups.values())):
             # exact fit: delegate to mesh_utils, which additionally
@@ -102,9 +115,10 @@ def make_multislice_mesh(num_slices: int,
             # subset of each slice (mesh_utils requires exact division)
             ordered = []
             for s in sorted(groups)[:num_slices]:
-                assert len(groups[s]) >= per_slice, (
-                    f"slice {s} has {len(groups[s])} devices, "
-                    f"need {per_slice}")
+                if len(groups[s]) < per_slice:
+                    raise ValueError(
+                        f"slice {s} has {len(groups[s])} devices, "
+                        f"need {per_slice}")
                 ordered.extend(groups[s][:per_slice])
             grid = np.asarray(ordered).reshape(
                 num_slices, data_per_slice, num_model)

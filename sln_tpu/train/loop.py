@@ -61,7 +61,8 @@ def create_state(cfg: Config, rng: jax.Array,
 
 def make_train_step(model: Sg2ScVAE, tx: optax.GradientTransformation,
                     cfg: Config, size_info: SizeInfo,
-                    eval_mode: bool = False
+                    eval_mode: bool = False, staged: bool = False,
+                    batch_sharding=None
                     ) -> Callable[[TrainState, RawBatch, jax.Array],
                                   Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted step. size_info is closed over as device constants.
@@ -69,6 +70,19 @@ def make_train_step(model: Sg2ScVAE, tx: optax.GradientTransformation,
     eval_mode=True keeps optimizing parameters but runs the model with
     frozen BatchNorm statistics — the reference's `model.eval()` switch at
     --eval_mode_after (train.py:63-65).
+
+    staged=True returns a step with signature (state, staged_arrays:
+    RawBatch over the WHOLE dataset, idx: (B,) int32, rng): the batch is
+    gathered ON DEVICE from dataset arrays that were device_put once, so
+    the only per-step host->device transfer is the index vector + rng.
+    This is the single-host fast path — per-step uploads of the batch
+    itself leak host RSS over the axon tunnel (CLAUDE.md gotcha: the r3
+    SPADE trainer was OOM-killed by exactly this) and pay ~batch-size of
+    H2D every step. The staged arrays are jit ARGUMENTS, not closures
+    (closures bake them into the program as constants — the HTTP-413
+    remote-compile gotcha). batch_sharding (optional NamedSharding)
+    constrains the gathered batch so a multi-device mesh still shards
+    the batch axis over its data axes.
 
     cfg.train.microbatch > 0 runs the step as gradient accumulation over
     batch-chunks of that size (one lax.scan, one optimizer update);
@@ -193,23 +207,57 @@ def make_train_step(model: Sg2ScVAE, tx: optax.GradientTransformation,
         losses["skipped_nan"] = (~finite).astype(jnp.float32)
         return new_state, losses
 
+    if staged:
+        def staged_step(state: TrainState, staged_arrays: RawBatch,
+                        idx: jnp.ndarray, rng: jax.Array):
+            raw = RawBatch(*(a[idx] for a in staged_arrays))
+            if batch_sharding is not None:
+                raw = jax.tree.map(
+                    lambda a: jax.lax.with_sharding_constraint(
+                        a, batch_sharding), raw)
+            return step_fn(state, raw, rng)
+
+        return jax.jit(staged_step, donate_argnums=(0,))
+
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
-def batches_from_arrays(arrays: Dict[str, np.ndarray], batch_size: int,
-                        rng: np.random.Generator):
-    """Shuffled fixed-size epoch iterator over tensorized scenes.
+def batch_indices(n: int, batch_size: int, rng: np.random.Generator):
+    """Shuffled fixed-size epoch index stream: (B,) int32 per batch.
 
-    Pads the final partial batch by wrapping around (static shapes for XLA)
-    — the reference's DataLoader just emits a ragged final batch instead.
-    """
-    n = arrays["objs"].shape[0]
+    Pads the final partial batch by wrapping around (static shapes for
+    XLA) — the reference's DataLoader just emits a ragged final batch
+    instead. The single permutation source shared by the host-gather
+    iterator (batches_from_arrays) and the stage-once device-gather path
+    (make_train_step(staged=True)), so both consume the identical batch
+    sequence for a given rng."""
     order = rng.permutation(n)
     if n % batch_size:
         order = np.concatenate(
             [order, order[: batch_size - n % batch_size]])
     for start in range(0, len(order), batch_size):
-        idx = order[start: start + batch_size]
+        yield order[start: start + batch_size].astype(np.int32)
+
+
+def stage_arrays(arrays: Dict[str, np.ndarray], sharding=None) -> RawBatch:
+    """device_put the whole tensorized dataset ONCE (replicated by
+    default, or with an explicit sharding) for the staged train step.
+    Feed the result as a jit ARGUMENT every step — never close over it
+    (the HTTP-413 remote-compile gotcha)."""
+    put = (jax.device_put if sharding is None
+           else lambda a: jax.device_put(a, sharding))
+    return RawBatch(
+        objs=put(arrays["objs"]), boxes=put(arrays["boxes"]),
+        angles=put(arrays["angles"]), obj_mask=put(arrays["obj_mask"]),
+        room_ids=put(arrays["room_ids"]))
+
+
+def batches_from_arrays(arrays: Dict[str, np.ndarray], batch_size: int,
+                        rng: np.random.Generator):
+    """Shuffled fixed-size epoch iterator over tensorized scenes (host
+    gather; see batch_indices for the shared permutation semantics)."""
+    n = arrays["objs"].shape[0]
+    for idx in batch_indices(n, batch_size, rng):
         yield RawBatch(
             objs=arrays["objs"][idx], boxes=arrays["boxes"][idx],
             angles=arrays["angles"][idx], obj_mask=arrays["obj_mask"][idx],

@@ -97,3 +97,151 @@ def test_packer_matches_python_tensorizer():
     np.testing.assert_array_equal(got["angles"], want["angles"])
     np.testing.assert_array_equal(got["obj_mask"], want["obj_mask"])
     np.testing.assert_array_equal(got["room_ids"], want["room_ids"])
+
+
+# ---------------------------------------------------------------------------
+# Adversarial / property fuzzing of the C++ JSON packer (VERDICT r4 #8).
+# The packer parses UNTRUSTED room JSON in-process, so the property is:
+# never crash; return None (clean -1) on anything malformed; and whenever
+# BOTH the C++ packer and the Python tensorizer accept an input, their
+# arrays must be identical (the packer may be rejected-where-Python-
+# accepts — the caller falls back — but never the reverse with different
+# data).
+# ---------------------------------------------------------------------------
+def _python_pack(text, max_objects=16):
+    """The fallback path's result, or the exception class it raises."""
+    try:
+        return tensorize.tensorize_rooms(json.loads(text), max_objects)
+    except Exception as e:
+        return type(e)
+
+
+def _check_consistent(text, max_objects=16):
+    got = native.pack_rooms(text, max_objects)   # must not crash, ever
+    if got is None:
+        return "rejected"
+    want = _python_pack(text, max_objects)
+    assert isinstance(want, dict), (
+        f"C++ packed an input the Python path rejects ({want.__name__}): "
+        f"{text[:200]!r}")
+    np.testing.assert_array_equal(got["objs"], want["objs"])
+    np.testing.assert_allclose(got["boxes"], want["boxes"], rtol=1e-6,
+                               equal_nan=True)
+    np.testing.assert_array_equal(got["angles"], want["angles"])
+    np.testing.assert_array_equal(got["obj_mask"], want["obj_mask"])
+    np.testing.assert_array_equal(got["room_ids"], want["room_ids"])
+    return "accepted"
+
+
+ADVERSARIAL = [
+    "",                                   # empty
+    "{",                                  # truncated object
+    "[1, 2, 3]",                          # root is not an object
+    "null", "true", "tru", "nul", "fals", # bare / truncated literals
+    '{"1": ' + "[" * 100_000,             # deep-nesting stack bomb
+    '{"1": ' + "[" * 100_000 + "]" * 100_000 + "}",
+    '{"1": {}}',                          # missing every key
+    '{"1": {"bbox": [1, 2, 3]}}',         # missing valid_objects
+    '{"1": {"bbox": 3, "valid_objects": []}}',         # bbox wrong kind
+    '{"1": {"bbox": [1, 2], "valid_objects": []}}',    # bbox too short
+    '{"1": {"bbox": [1, 2, 3, 4], "valid_objects": []}}',
+    '{"1": {"bbox": ["a", "b", "c"], "valid_objects": []}}',
+    '{"1": {"bbox": [1, 2, 3], "valid_objects": 7}}',
+    '{"not_an_int": {"bbox": [1, 2, 3], "valid_objects": []}}',
+    '{"99999999999999999999": {"bbox": [1,2,3], "valid_objects": []}}',
+    '{"1": {"bbox": [1e400, 2, 3], "valid_objects": []}}',  # inf dims
+    # malformed valid_objects entries
+    '{"1": {"bbox": [1,2,3], "valid_objects": [5]}}',
+    '{"1": {"bbox": [1,2,3], "valid_objects": [{"type": "bed"}]}}',
+    '{"1": {"bbox": [1,2,3], "valid_objects": [{"type": "bed", '
+    '"new_bbox": [[0,0,0]], "rotation": 0}]}}',          # 1 corner
+    '{"1": {"bbox": [1,2,3], "valid_objects": [{"type": "bed", '
+    '"new_bbox": [[0,0],[1,1,1]], "rotation": 0}]}}',    # short corner
+    '{"1": {"bbox": [1,2,3], "valid_objects": [{"type": "bed", '
+    '"new_bbox": [[0,0,0],[1,1,"x"]], "rotation": 0}]}}',
+    '{"1": {"bbox": [1,2,3], "valid_objects": [{"type": "bed", '
+    '"new_bbox": [[0,0,0],[1,1,1]]}]}}',                 # no rotation
+    '{"1": {"bbox": [1,2,3], "valid_objects": [{"type": "bed", '
+    '"new_bbox": [[0,0,0],[1,1,1]], "rotation": 1e300}]}}',
+    '{"1": {"bbox": [1,2,3], "valid_objects": [{"type": "bed", '
+    '"new_bbox": [[0,0,0],[1,1,1]], "rotation": "NaN"}]}}',
+    '{"1": {"bbox": [1,2,3], "valid_objects": [{"type": '
+    '"no_such_class", "new_bbox": [[0,0,0],[1,1,1]], "rotation": 0}]}}',
+    # huge strings / weird bytes
+    '{"1": "' + "x" * 1_000_000 + '"}',
+    '{"\\u0000weird": {"bbox": [1,2,3], "valid_objects": []}}',
+    '{"1": {"bbox": [1,2,3], "valid_objects": []}} trailing garbage',
+    '{"1": {"bbox": [1,2,3], "valid_objects": []}}' + "\xff\xfe",
+]
+
+
+def test_packer_fuzz_adversarial():
+    """Hand-built worst cases: parse errors must come back as a clean
+    None (fallback), valid-but-weird inputs must match Python, and
+    nothing may crash the process."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    results = [_check_consistent(t) for t in ADVERSARIAL]
+    # every deliberately-malformed case above is expected to be rejected
+    assert "accepted" not in results[:5], results[:5]
+
+
+def test_packer_fuzz_mutations():
+    """Random byte/structure mutations of VALID room JSON: flip bytes,
+    truncate, splice — the packer must never crash and must agree with
+    the Python path whenever both accept."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rooms = synthetic.generate_rooms(6, seed=11)
+    base = json.dumps(rooms)
+    rng = np.random.default_rng(0)
+    n_accepted = n_rejected = 0
+    for trial in range(300):
+        b = bytearray(base.encode())
+        kind = trial % 3
+        if kind == 0:                     # flip 1-8 random bytes
+            for _ in range(int(rng.integers(1, 9))):
+                b[int(rng.integers(len(b)))] = int(rng.integers(32, 127))
+        elif kind == 1:                   # truncate at a random point
+            b = b[: int(rng.integers(len(b)))]
+        else:                             # splice a random chunk
+            i = int(rng.integers(len(b)))
+            j = int(rng.integers(i, min(i + 64, len(b))))
+            b[i:j] = bytes(rng.integers(32, 127, size=j - i,
+                                        dtype=np.uint8))
+        out = _check_consistent(b.decode("utf-8", errors="replace"))
+        n_accepted += out == "accepted"
+        n_rejected += out == "rejected"
+    # sanity: the fuzz actually exercised both outcomes
+    assert n_rejected > 50, (n_accepted, n_rejected)
+
+
+def test_packer_property_random_valid_rooms():
+    """Schema-shaped random rooms (extreme but type-correct values):
+    the C++ packer must accept and agree with Python bit-for-bit-ish,
+    including negative/zero room dims, giant coordinates, >max_objects
+    rooms (truncation), and negative rotations."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    from sln_tpu.data.vocab import VOCAB
+    names = [n for n in VOCAB.object_name_to_idx if n != "__room__"]
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        n_rooms = int(rng.integers(0, 5))
+        data = {}
+        for r in range(n_rooms):
+            n_obj = int(rng.integers(0, 24))   # may exceed max_objects-1
+            objs = []
+            for _ in range(n_obj):
+                lo = rng.uniform(-1e6, 1e6, 3).round(3).tolist()
+                hi = rng.uniform(-1e6, 1e6, 3).round(3).tolist()
+                objs.append({
+                    "type": str(rng.choice(names)),
+                    "new_bbox": [lo, hi],
+                    "rotation": int(rng.integers(-100, 100)),
+                })
+            data[str(int(rng.integers(-1000, 1000)) * 1000 + r)] = {
+                "bbox": rng.uniform(0.1, 100, 3).round(3).tolist(),
+                "valid_objects": objs,
+            }
+        assert _check_consistent(json.dumps(data), 16) == "accepted"

@@ -49,6 +49,83 @@ def test_loss_decreases():
     assert int(state.step) > 0
 
 
+def test_batch_indices_matches_batches_from_arrays():
+    """The staged path's index stream and the host-gather iterator must
+    consume one permutation per epoch and yield the identical batch
+    sequence for the same rng (incl. the wrap-around padded final
+    batch: 20 rooms / batch 8 -> 3 batches)."""
+    cfg, arrays, _, _ = _setup(batch_size=8, num_rooms=20)
+    idx_stream = list(train_loop.batch_indices(
+        20, 8, np.random.default_rng(3)))
+    raw_stream = list(train_loop.batches_from_arrays(
+        arrays, 8, np.random.default_rng(3)))
+    assert len(idx_stream) == len(raw_stream) == 3
+    for idx, raw in zip(idx_stream, raw_stream):
+        assert idx.shape == (8,) and idx.dtype == np.int32
+        np.testing.assert_array_equal(arrays["objs"][idx], raw.objs)
+        np.testing.assert_array_equal(arrays["boxes"][idx], raw.boxes)
+        np.testing.assert_array_equal(arrays["room_ids"][idx],
+                                      raw.room_ids)
+
+
+def test_staged_step_matches_host_batches():
+    """make_train_step(staged=True) — the stage-once device-gather path
+    train.py defaults to on single-host runs — must reproduce the
+    host-upload step exactly: same batches (shared permutation stream),
+    same losses, same parameters after several steps."""
+    cfg, arrays, size_info, example = _setup(batch_size=8, num_rooms=24)
+    model, state, tx = train_loop.create_state(cfg, jax.random.PRNGKey(0),
+                                               example)
+    step = train_loop.make_train_step(model, tx, cfg, size_info)
+    staged_step = train_loop.make_train_step(model, tx, cfg, size_info,
+                                             staged=True)
+    staged = train_loop.stage_arrays(arrays)
+
+    s_host = jax.tree.map(jnp.copy, state)
+    s_dev = jax.tree.map(jnp.copy, state)
+    for raw, idx in zip(
+            train_loop.batches_from_arrays(arrays, 8,
+                                           np.random.default_rng(5)),
+            train_loop.batch_indices(24, 8, np.random.default_rng(5))):
+        s_host, l_host = step(s_host, raw, jax.random.PRNGKey(2))
+        s_dev, l_dev = staged_step(s_dev, staged, jnp.asarray(idx),
+                                   jax.random.PRNGKey(2))
+        np.testing.assert_allclose(float(l_host["total_loss"]),
+                                   float(l_dev["total_loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_host.params),
+                    jax.tree.leaves(s_dev.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)
+
+
+def test_staged_step_sharded_matches_unsharded():
+    """The staged gather under a batch_sharding constraint on the 8-device
+    CPU mesh equals the unconstrained single-device staged step."""
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    cfg, arrays, size_info, example = _setup(batch_size=16, num_rooms=24)
+    model, state, tx = train_loop.create_state(cfg, jax.random.PRNGKey(0),
+                                               example)
+    m = meshlib.make_mesh(num_data=8)
+    plain = train_loop.make_train_step(model, tx, cfg, size_info,
+                                       staged=True)
+    sharded = train_loop.make_train_step(
+        model, tx, cfg, size_info, staged=True,
+        batch_sharding=meshlib.batch_sharding(m))
+    staged_plain = train_loop.stage_arrays(arrays)
+    staged_repl = train_loop.stage_arrays(arrays, meshlib.replicated(m))
+    idx = next(train_loop.batch_indices(24, 16, np.random.default_rng(0)))
+
+    s1, l1 = plain(jax.tree.map(jnp.copy, state), staged_plain,
+                   jnp.asarray(idx), jax.random.PRNGKey(1))
+    s8, l8 = sharded(meshlib.replicate(jax.tree.map(jnp.copy, state), m),
+                     staged_repl, jnp.asarray(idx), jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(l1["total_loss"]),
+                               float(l8["total_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2.5e-3)
+
+
 def test_nan_guard_skips_update():
     cfg, arrays, size_info, example = _setup(batch_size=8, num_rooms=8)
     model, state, tx = train_loop.create_state(cfg, jax.random.PRNGKey(0),
@@ -149,8 +226,25 @@ def test_multislice_mesh_refuses_simulation_across_real_slices():
             self.slice_index = s
 
     devs = [FakeDev(s) for s in (0, 0, 0, 0, 1, 1, 1, 1)]
-    with pytest.raises(AssertionError, match="span only"):
+    with pytest.raises(ValueError, match="span only"):
         meshlib.make_multislice_mesh(num_slices=4, data_per_slice=1,
+                                     num_model=2, devices=devs)
+
+
+def test_multislice_mesh_refuses_mixed_slice_indexed_devices():
+    """A device list mixing slice-indexed and sliceless devices must be
+    rejected (it would otherwise silently take the contiguous-simulation
+    branch despite real slice boundaries being present)."""
+    import pytest
+
+    class FakeDev:
+        def __init__(self, s):
+            if s is not None:
+                self.slice_index = s
+
+    devs = [FakeDev(s) for s in (0, 0, 1, 1, None, None, None, None)]
+    with pytest.raises(ValueError, match="mixes slice-indexed"):
+        meshlib.make_multislice_mesh(num_slices=2, data_per_slice=1,
                                      num_model=2, devices=devs)
 
 

@@ -100,7 +100,7 @@ def main():
 
     def decode_only(z, key):
         zz, boxes, angle_lp = decode_fn(z, key)
-        return zz + boxes.sum() * 0 + angle_lp.sum() * 0, ()
+        return zz + 1e-30 * (boxes.sum() + angle_lp.sum()), ()
 
     timed_scan(decode_only, z0, args.steps, "decode")
 
@@ -112,7 +112,7 @@ def main():
         zz, boxes, angle_lp = decode_fn(z, key)
         ang = refine.softargmax(angle_lp, cfg.refine.softargmax_beta)
         imgs = render_batch(batch.objs, boxes, ang, batch.obj_mask, midx)
-        return zz + imgs.sum() * 0, ()
+        return zz + 1e-30 * imgs.sum(), ()
 
     timed_scan(render_fwd, z0, args.steps, "render_fwd")
 
@@ -127,7 +127,7 @@ def main():
             _, s = render_loss(zi, key)
             return s
         g = jax.grad(f)(z)
-        zz = z + jax.random.normal(key, z.shape) * 1e-4 + g * 0
+        zz = z + jax.random.normal(key, z.shape) * 1e-4 + 1e-30 * g
         return zz, ()
 
     timed_scan(render_fwdbwd, z0, args.steps, "render_fwdbwd")
@@ -152,7 +152,7 @@ def main():
     def loss_fwdbwd(img, key):
         im = img + jax.random.normal(key, (1, 1, 1, 1)) * 1e-4
         g = jax.grad(_losses)(im)
-        return img + g * 0, ()
+        return img + 1e-30 * g, ()
 
     timed_scan(loss_fwdbwd, img0, args.steps, "loss_fwdbwd")
 
@@ -174,7 +174,7 @@ def main():
 
     def composite_fwdbwd(z, key):
         g = jax.grad(total_loss)(z, key)
-        zz = z + jax.random.normal(key, z.shape) * 1e-4 + g * 0
+        zz = z + jax.random.normal(key, z.shape) * 1e-4 + 1e-30 * g
         return zz, ()
 
     timed_scan(composite_fwdbwd, z0, args.steps, "composite_fwdbwd")

@@ -77,6 +77,14 @@ def parse_args(argv=None):
                    help="gradient-accumulation chunk size (0 = off): "
                         "large per-chip batches run as a scan of "
                         "microbatch-sized fwd/bwd passes with one update")
+    p.add_argument("--stage_on_device", default=None,
+                   type=lambda s: s in ("1", "true", "True"),
+                   help="device_put the dataset once and gather batches "
+                        "on device (per-step H2D = indices + rng only; "
+                        "the per-step batch upload leaks host RSS over "
+                        "the axon tunnel). Default: on for single-process"
+                        " runs, off multi-host (which needs the per-host "
+                        "sharded input pipeline)")
     from sln_tpu.utils.cli import (add_reference_compat_flags,
                                    apply_reference_compat_flags)
     add_reference_compat_flags(p)
@@ -156,11 +164,21 @@ def main(argv=None):
 
     model, state, tx = train_loop.create_state(
         cfg, jax.random.PRNGKey(cfg.train.seed), example)
-    step_fn = train_loop.make_train_step(model, tx, cfg, size_info)
+    # stage-once fast path: default on for single-process runs (the
+    # per-step batch upload leaks host RSS over the axon tunnel and pays
+    # ~batch-size of H2D each step); multi-host keeps the per-host
+    # sharded input pipeline, where each host genuinely owns new rows
+    stage = args.stage_on_device
+    if stage is None:
+        stage = jax.process_count() == 1
+    bsh = meshlib.batch_sharding(mesh) if stage else None
+    step_fn = train_loop.make_train_step(model, tx, cfg, size_info,
+                                         staged=stage, batch_sharding=bsh)
     eval_step_fn = None
     if args.eval_mode_after >= 0:
-        eval_step_fn = train_loop.make_train_step(model, tx, cfg, size_info,
-                                                  eval_mode=True)
+        eval_step_fn = train_loop.make_train_step(
+            model, tx, cfg, size_info, eval_mode=True, staged=stage,
+            batch_sharding=bsh)
 
     ckpt = ckpt_lib.new_checkpoint({k: str(v) for k, v in vars(args).items()},
                                    VOCAB.to_dict())
@@ -186,26 +204,43 @@ def main(argv=None):
     from sln_tpu.train.metrics import MetricsLogger
     metrics = MetricsLogger(os.path.join(cfg.train.output_dir,
                                          "metrics.jsonl"))
+    staged = None
+    if stage:
+        print("| staging dataset on device (gathers run on device; "
+              "per-step H2D = indices + rng)")
+        staged = train_loop.stage_arrays(arrays, meshlib.replicated(mesh))
     t0 = time.time()
     while t < cfg.train.num_iterations:
         epoch += 1
         print(f"Starting epoch {epoch}")
-        # per-host sharded input pipeline: each host iterates only its
-        # disjoint shard of the shared global permutation and contributes
-        # its rows via make_array_from_process_local_data (single-process
-        # runs degenerate to the full batch) — SURVEY §2.10's multi-host
-        # plan replacing the reference's 8-worker DataLoader
-        for raw in train_loop.host_sharded_batches(arrays, bs, rng_np):
+        # Input pipeline, two modes sharing ONE permutation stream
+        # (train_loop.batch_indices), so they consume the identical
+        # global batch sequence:
+        #  - staged (single-host): the dataset lives on device; only the
+        #    (B,) index vector crosses host->device per step
+        #  - per-host sharded (multi-host): each host iterates only its
+        #    disjoint shard of the shared global permutation and
+        #    contributes its rows via make_array_from_process_local_data
+        #    — SURVEY §2.10's multi-host plan replacing the reference's
+        #    8-worker DataLoader
+        epoch_iter = (
+            train_loop.batch_indices(n_rooms, bs, rng_np) if stage
+            else train_loop.host_sharded_batches(arrays, bs, rng_np))
+        for item in epoch_iter:
             if t >= cfg.train.num_iterations:
                 break
             t += 1
-            raw = meshlib.global_from_host_shards(raw, mesh, bs)
             # switch to frozen-BN steps past --eval_mode_after
             # (reference train.py:63-65)
             active_step = step_fn
             if eval_step_fn is not None and t >= args.eval_mode_after:
                 active_step = eval_step_fn
-            state, losses = active_step(state, raw, step_rng)
+            if stage:
+                state, losses = active_step(state, staged,
+                                            jnp.asarray(item), step_rng)
+            else:
+                raw = meshlib.global_from_host_shards(item, mesh, bs)
+                state, losses = active_step(state, raw, step_rng)
 
             if t % cfg.train.print_every == 0:
                 losses = {k: float(v) for k, v in losses.items()}
