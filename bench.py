@@ -35,10 +35,15 @@ SPADE z-samples at 256px (test.py:94, test_SPADE_shade.py:74).
 
 `--quick` prints only the headline line. The full run is bounded by a
 total wall-clock budget (`--budget` / SLN_TPU_BENCH_BUDGET, default
-1500 s): metric lines stream out the moment they are measured, groups
+2100 s): metric lines stream out the moment they are measured, groups
 that don't fit are skipped with a stderr notice, and the layouts
 headline ALWAYS runs last within a reserved slice — the driver's
-last-line parse can never come up empty (the BENCH_r04 lesson).
+last-line parse can never come up empty (the BENCH_r04 lesson). A warm
+compile cache (~/.cache/jax_sln) is assumed; each bench still costs
+~1-2 min of local trace + timed windows, so the full warm run is
+~25-30 min. Killing a group mid-compile can wedge the remote compile
+queue for the NEXT group (CLAUDE.md), which is why group timeouts are
+sized to never fire on a warm cache.
 """
 
 from __future__ import annotations
@@ -694,8 +699,8 @@ def _run_only(names: str) -> None:
 # headline stays a dedicated last process (the driver parses the final
 # line).
 GROUPS = (
-    ("spade", ("spade_256px", "spade_256px_bf16", "gan_shade",
-               "spade_quality")),
+    ("spade", ("spade_256px", "spade_256px_bf16")),
+    ("shade", ("gan_shade", "spade_quality")),
     ("refine", ("refine_96px", "refine_batched", "refine_256px",
                 "refine_batched_256px", "refine_iou")),
     ("train", ("train", "train_bf16", "train_accum")),
@@ -782,7 +787,7 @@ def main():
                          "SPADE after the refine benches; the layouts "
                          "headline still isolates)")
     ap.add_argument("--budget", type=float, default=float(
-        os.environ.get("SLN_TPU_BENCH_BUDGET", "1500")),
+        os.environ.get("SLN_TPU_BENCH_BUDGET", "2100")),
         help="total wall-clock budget in seconds (also env "
              "SLN_TPU_BENCH_BUDGET). The run ALWAYS ends with the "
              "layouts headline: groups that don't fit are skipped, "

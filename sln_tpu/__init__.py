@@ -20,17 +20,23 @@ The package name is the importable spelling of "3d_sln_tpu".
 __version__ = "0.1.0"
 
 # Persistent compilation cache: compiles over the remote-TPU tunnel are
-# slow (tens of seconds); caching them across processes makes every CLI /
-# workload start fast. Disable with SLN_TPU_COMPILATION_CACHE=0.
+# slow (tens of seconds to tens of MINUTES for the big scan programs);
+# caching them across processes makes every CLI / workload start fast.
+# The default lives under the HOME cache dir, NOT /tmp: /tmp is wiped on
+# reboot, and a wiped cache turns a bench run into a string of cold
+# multi-minute compiles (the BENCH_r04 timeout). Disable with
+# SLN_TPU_COMPILATION_CACHE=0.
 import os as _os
 
 if _os.environ.get("SLN_TPU_COMPILATION_CACHE", "1") != "0":
     try:
         import jax as _jax
 
-        _jax.config.update(
-            "jax_compilation_cache_dir",
-            _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
+        _cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "jax_sln"))
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs",
                            1.0)
     except Exception:  # very old jax or read-only fs: not fatal
