@@ -714,13 +714,20 @@ ORDER = tuple(n for _, ns in GROUPS for n in ns)
 LAYOUTS_RESERVE = 360.0
 
 
-def _stream_child(here: str, names, timeout: float) -> bool:
+def _stream_child(here: str, names, timeout: float,
+                  stall_timeout: float = 0.0) -> bool:
     """Run `--only <names>` in a subprocess, FORWARDING each JSON line the
     moment the child prints it — a later timeout (ours or the driver's)
     can no longer erase lines already delivered (the BENCH_r04 failure
     mode: capture_output held 14 children's output hostage until each
     exited). Child stderr goes to a temp file to avoid pipe-buffer
-    deadlock. Returns True if at least one metric line was forwarded."""
+    deadlock.
+
+    Two clocks: `timeout` is the hard budget cap; `stall_timeout` (>0)
+    additionally kills the child if NO line has arrived for that long —
+    tunnel latency varies by several minutes run-to-run, so a group that
+    is still streaming keeps its slot while a wedged one dies early.
+    Returns True if at least one metric line was forwarded."""
     import select
     import subprocess
     import tempfile
@@ -730,24 +737,34 @@ def _stream_child(here: str, names, timeout: float) -> bool:
         proc = subprocess.Popen(
             [sys.executable, here, "--only", ",".join(names)],
             stdout=subprocess.PIPE, stderr=errf, text=True)
-        deadline = time.monotonic() + timeout
+        hard_deadline = time.monotonic() + timeout
+        last_line = time.monotonic()
         try:
             while True:
-                left = deadline - time.monotonic()
-                if left <= 0:
+                now = time.monotonic()
+                deadline = hard_deadline
+                why = f"budget timeout after {timeout:.0f}s"
+                if stall_timeout > 0:
+                    stall_at = last_line + stall_timeout
+                    if stall_at < deadline:
+                        deadline = stall_at
+                        why = (f"no output for {stall_timeout:.0f}s "
+                               "(wedged)")
+                if now >= deadline:
                     proc.kill()
                     proc.wait()
-                    print(f"bench group {names[0]}..: timeout after "
-                          f"{timeout:.0f}s (lines already printed were "
-                          "kept)", file=sys.stderr, flush=True)
+                    print(f"bench group {names[0]}..: {why} (lines "
+                          "already printed were kept)", file=sys.stderr,
+                          flush=True)
                     break
                 r, _, _ = select.select([proc.stdout], [], [],
-                                        min(left, 5.0))
+                                        min(deadline - now, 5.0))
                 if r:
                     line = proc.stdout.readline()
                     if not line:            # EOF: child exited
                         proc.wait()
                         break
+                    last_line = time.monotonic()
                     if line.startswith("{"):
                         print(line, end="", flush=True)
                         emitted = True
@@ -860,17 +877,26 @@ def main():
               else GROUPS)
     body = [g for g in groups if g[0] != "layouts"]
     for i, (gname, names) in enumerate(body):
-        # fair-share the remaining non-headline budget so one slow group
-        # cannot starve the rest; anything that doesn't fit is skipped
-        # (each skip is announced on stderr — no silent truncation)
-        share = left(LAYOUTS_RESERVE) / (len(body) - i)
-        timeout = min(left(LAYOUTS_RESERVE), max(300.0, share))
+        # fair-share the remaining non-headline budget WEIGHTED BY BENCH
+        # COUNT (a warm bench costs ~100-150 s of trace + model load +
+        # timed windows regardless of family, so a 5-bench group needs
+        # ~5x a 1-bench group's slice); anything that doesn't fit is
+        # skipped (each skip is announced on stderr — no silent
+        # truncation)
+        n_left = sum(len(ns) for _, ns in body[i:])
+        share = left(LAYOUTS_RESERVE) * len(names) / max(n_left, 1)
+        timeout = min(left(LAYOUTS_RESERVE),
+                      max(180.0 * len(names), 1.3 * share))
         if left(LAYOUTS_RESERVE) < 90.0:
             print(f"bench: skipping group {gname} ({','.join(names)}): "
                   f"{left(LAYOUTS_RESERVE):.0f}s left before the "
                   "headline reserve", file=sys.stderr, flush=True)
             continue
-        _stream_child(here, names, timeout)
+        # stall clock: a group still emitting keeps its slot through
+        # tunnel-latency swings; 7 min of total silence = wedged/cold
+        # (cold compiles belong in un-timed `--only` pre-warm runs, and
+        # can take 20+ min — they cannot fit a budgeted run anyway)
+        _stream_child(here, names, timeout, stall_timeout=420.0)
 
     # the headline, always last, with an in-process fallback so the run
     # can never end without a parseable final line
