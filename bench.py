@@ -513,6 +513,65 @@ def bench_train(batch_size: int = 256, steps: int = 60,
     return out
 
 
+def bench_train_device(batch_size: int = 256, steps: int = 60,
+                       compute_dtype: str = "") -> list:
+    """Training DEVICE throughput: the whole `steps`-step loop in ONE
+    program (train_loop.make_train_scan) ending in a fetched summed
+    loss. The plain train_scenes_per_sec line runs a host loop of jitted
+    steps, which over the axon tunnel pays ~8-12 ms dispatch latency per
+    step — comparable to the step itself at batch 256, so that line is
+    dispatch-clamped in this environment (a local-attach host sees the
+    device rate). Same per-step math (tests pin scan == loop)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from sln_tpu.config import default_config
+    from sln_tpu.train import loop as tl
+    from sln_tpu.workloads import common
+
+    cfg = default_config()
+    if compute_dtype:
+        cfg = cfg.replace(model=dc.replace(cfg.model,
+                                           compute_dtype=compute_dtype))
+    arrays, size_info = common.load_arrays(4096, cfg, synthetic_seed=0)
+    raw = next(tl.batches_from_arrays(arrays, batch_size,
+                                      np.random.default_rng(0)))
+    raw = tl.RawBatch(*(jnp.asarray(x) for x in raw))
+    from sln_tpu.data.augment import build_graphs
+    batch = build_graphs(jax.random.PRNGKey(0), raw.objs, raw.boxes,
+                         raw.angles, raw.obj_mask, raw.room_ids, size_info,
+                         max_on_rels=cfg.data.max_on_rels)
+    model, state, tx = tl.create_state(cfg, jax.random.PRNGKey(0), batch)
+    run = tl.make_train_scan(model, tx, cfg, size_info)
+    state, total = run(state, raw, jax.random.PRNGKey(5), steps)
+    float(total)                                        # compile + warm
+    flops = _cost_flops(tl.make_train_step(model, tx, cfg, size_info),
+                        state, raw, jax.random.PRNGKey(5))
+    rate = 0.0
+    for w in range(2):
+        raw_w = raw._replace(boxes=raw.boxes * (1.0 + 1e-6 * (w + 1)))
+        t0 = time.perf_counter()
+        state, total = run(state, raw_w, jax.random.PRNGKey(6 + w), steps)
+        float(total)
+        rate = max(rate, steps * batch_size / (time.perf_counter() - t0))
+    suffix = "_bf16" if compute_dtype == "bfloat16" else ""
+    out = [{"metric": f"train_scenes_per_sec_device{suffix}",
+            "value": round(rate, 1),
+            "unit": f"scenes/s (batch {batch_size}, whole loop on "
+                    "device"
+                    + (f", {compute_dtype}" if compute_dtype else "")
+                    + ")",
+            "vs_baseline": None}]
+    rec = _mfu_rec(f"train_device_mfu{suffix}",
+                   flops and flops / batch_size, rate,
+                   compute_dtype or "fp32", "scene")
+    if rec:
+        out.append(rec)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # trained model + real posterior (quality-linked throughput)
 # ---------------------------------------------------------------------------
@@ -657,6 +716,10 @@ def _run_one(name: str) -> None:
         _emit_any(bench_train())
     elif name == "train_bf16":
         _emit_any(bench_train(compute_dtype="bfloat16"))
+    elif name == "train_device":
+        _emit_any(bench_train_device())
+    elif name == "train_device_bf16":
+        _emit_any(bench_train_device(compute_dtype="bfloat16"))
     elif name == "train_accum":
         # per-chip batch 1024 at the microbatch-256 chunk shape: shows the
         # gradient-accumulation path holds the sweet-spot rate at 4x batch
@@ -677,7 +740,22 @@ def _run_one(name: str) -> None:
 def _run_only(names: str) -> None:
     """Run a comma-separated benchmark list sequentially in this process
     (the child side of a group subprocess). One bench failing must not
-    take down its groupmates."""
+    take down its groupmates.
+
+    Under SLN_TPU_BENCH_CHILD=1 (set by the parent's _stream_child) a
+    daemon thread heartbeats on stdout every 60 s: a child blocked in a
+    slow remote compile emits nothing from the main thread, and the
+    parent must distinguish "slow but alive" (keep waiting within the
+    budget) from "process dead" (stall-kill)."""
+    if os.environ.get("SLN_TPU_BENCH_CHILD"):
+        import threading
+
+        def beat():
+            while True:
+                time.sleep(60)
+                print("[bench-keepalive]", flush=True)
+
+        threading.Thread(target=beat, daemon=True).start()
     parts = [n for n in names.split(",") if n]
     for name in parts:
         try:
@@ -703,7 +781,8 @@ GROUPS = (
     ("shade", ("gan_shade", "spade_quality")),
     ("refine", ("refine_96px", "refine_batched", "refine_256px",
                 "refine_batched_256px", "refine_iou")),
-    ("train", ("train", "train_bf16", "train_accum")),
+    ("train", ("train", "train_bf16", "train_device",
+               "train_device_bf16", "train_accum")),
     ("quality", ("quality",)),
     ("layouts", ("layouts",)),
 )
@@ -736,7 +815,8 @@ def _stream_child(here: str, names, timeout: float,
     with tempfile.TemporaryFile(mode="w+") as errf:
         proc = subprocess.Popen(
             [sys.executable, here, "--only", ",".join(names)],
-            stdout=subprocess.PIPE, stderr=errf, text=True)
+            stdout=subprocess.PIPE, stderr=errf, text=True,
+            env={**os.environ, "SLN_TPU_BENCH_CHILD": "1"})
         hard_deadline = time.monotonic() + timeout
         last_line = time.monotonic()
         try:
@@ -892,10 +972,10 @@ def main():
                   f"{left(LAYOUTS_RESERVE):.0f}s left before the "
                   "headline reserve", file=sys.stderr, flush=True)
             continue
-        # stall clock: a group still emitting keeps its slot through
-        # tunnel-latency swings; 7 min of total silence = wedged/cold
-        # (cold compiles belong in un-timed `--only` pre-warm runs, and
-        # can take 20+ min — they cannot fit a budgeted run anyway)
+        # stall clock: children heartbeat every 60 s even while blocked
+        # in a remote compile (SLN_TPU_BENCH_CHILD), so 7 silent minutes
+        # means the process itself is dead/frozen — slow-but-alive
+        # groups keep their slot up to the budget cap
         _stream_child(here, names, timeout, stall_timeout=420.0)
 
     # the headline, always last, with an in-process fallback so the run

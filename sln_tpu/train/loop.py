@@ -222,6 +222,39 @@ def make_train_step(model: Sg2ScVAE, tx: optax.GradientTransformation,
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+def make_train_scan(model: Sg2ScVAE, tx: optax.GradientTransformation,
+                    cfg: Config, size_info: SizeInfo,
+                    eval_mode: bool = False):
+    """Many train steps in ONE device program: (state, raw, rng, n) ->
+    (state, summed total_loss over the n steps).
+
+    The per-step math is exactly make_train_step's (the scan body calls
+    the same inner step; rng folds with state.step, which increments
+    every iteration, so each step draws fresh graphs/z and the weights
+    advance — nothing is loop-invariant for XLA to hoist). Use for
+    DEVICE-throughput measurement and for remote-dispatch-bound
+    environments: a host loop of jitted steps pays per-dispatch latency
+    (~8-12 ms over the axon tunnel — comparable to the step itself at
+    batch 256), which clamps the measured rate; the scan removes the
+    host from the loop entirely. train.py keeps the host loop (it needs
+    per-step checkpoint/print hooks)."""
+    base = make_train_step(model, tx, cfg, size_info, eval_mode)
+    # reuse the jitted step's underlying function (same traced body);
+    # jax.jit exposes it as __wrapped__
+    step_fn = base.__wrapped__
+
+    def run(state: TrainState, raw: RawBatch, rng: jax.Array,
+            n: int):
+        def body(s, _):
+            s2, losses = step_fn(s, raw, rng)
+            return s2, losses["total_loss"]
+
+        state2, totals = jax.lax.scan(body, state, None, length=n)
+        return state2, totals.sum()
+
+    return jax.jit(run, static_argnums=(3,), donate_argnums=(0,))
+
+
 def batch_indices(n: int, batch_size: int, rng: np.random.Generator):
     """Shuffled fixed-size epoch index stream: (B,) int32 per batch.
 

@@ -126,6 +126,34 @@ def test_staged_step_sharded_matches_unsharded():
                                    rtol=0, atol=2.5e-3)
 
 
+def test_train_scan_matches_step_loop():
+    """make_train_scan (whole loop in one device program — the device-
+    throughput bench path) must reproduce n make_train_step calls with
+    the same (raw, rng): identical final params and summed loss."""
+    cfg, arrays, size_info, example = _setup(batch_size=8, num_rooms=8)
+    model, state, tx = train_loop.create_state(cfg, jax.random.PRNGKey(0),
+                                               example)
+    step = train_loop.make_train_step(model, tx, cfg, size_info)
+    scan = train_loop.make_train_scan(model, tx, cfg, size_info)
+    raw = next(train_loop.batches_from_arrays(arrays, 8,
+                                              np.random.default_rng(0)))
+    rng = jax.random.PRNGKey(9)
+
+    s_loop = jax.tree.map(jnp.copy, state)
+    total = 0.0
+    for _ in range(4):
+        s_loop, losses = step(s_loop, raw, rng)
+        total += float(losses["total_loss"])
+
+    s_scan, scan_total = scan(jax.tree.map(jnp.copy, state), raw, rng, 4)
+    np.testing.assert_allclose(total, float(scan_total), rtol=1e-5)
+    assert int(s_scan.step) == int(s_loop.step) == 4
+    for a, b in zip(jax.tree.leaves(s_loop.params),
+                    jax.tree.leaves(s_scan.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)
+
+
 def test_nan_guard_skips_update():
     cfg, arrays, size_info, example = _setup(batch_size=8, num_rooms=8)
     model, state, tx = train_loop.create_state(cfg, jax.random.PRNGKey(0),
