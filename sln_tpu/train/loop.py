@@ -241,7 +241,12 @@ def make_train_scan(model: Sg2ScVAE, tx: optax.GradientTransformation,
     base = make_train_step(model, tx, cfg, size_info, eval_mode)
     # reuse the jitted step's underlying function (same traced body);
     # jax.jit exposes it as __wrapped__
-    step_fn = base.__wrapped__
+    step_fn = getattr(base, "__wrapped__", None)
+    if step_fn is None:  # jax stopped exposing the wrapped fn
+        raise RuntimeError(
+            "make_train_scan needs jax.jit.__wrapped__; this jax "
+            "version does not expose it — scan the step via a "
+            "refactored raw step function instead")
 
     def run(state: TrainState, raw: RawBatch, rng: jax.Array,
             n: int):
