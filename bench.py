@@ -323,7 +323,8 @@ def bench_spade(batch: int = 10, steps: int = 10,
 
 
 def bench_gan_shade(num_z: int = 50, rooms: int = 3,
-                    z_chunk: int = 10) -> list:
+                    z_chunk: int = 10, compute_dtype: str = "",
+                    e2e: bool = True) -> list:
     """The gan_shade serving workload: 50 z-samples over ONE fixed room
     per serve (test.py:94, testing/test_SPADE_shade.py:74-80), with the
     seg-conditioned SPADE stack computed once per room BY DESIGN
@@ -347,7 +348,12 @@ def bench_gan_shade(num_z: int = 50, rooms: int = 3,
     from sln_tpu.config import default_config
     from sln_tpu.workloads import gan_shade
 
+    import dataclasses as dc
+
     cfg = default_config()
+    if compute_dtype:
+        cfg = cfg.replace(spade=dc.replace(cfg.spade,
+                                           compute_dtype=compute_dtype))
     model, params = gan_shade.make_spade_model(cfg)
     # real rasterized rooms (the same render->seg path the workload
     # feeds the generator, test.py:79-95), not synthetic noise; the
@@ -389,26 +395,32 @@ def bench_gan_shade(num_z: int = 50, rooms: int = 3,
                        rooms * n_chunks * z_chunk
                        / (time.perf_counter() - t0))
 
-    # --- end-to-end line: the real serving calls, uint8 transport
-    gan_shade.colorize(model, params, segs[-1], num_z=num_z,
-                       z_chunk=z_chunk, out_dtype="uint8")   # warm
-    t0 = time.perf_counter()
-    for r in range(rooms):
-        out = gan_shade.colorize(model, params, segs[r], num_z=num_z,
-                                 z_chunk=z_chunk, out_dtype="uint8")
-    assert out.shape[0] == num_z and out.dtype == np.uint8
-    e2e_rate = rooms * num_z / (time.perf_counter() - t0)
-    return [
-        {"metric": "gan_shade_imgs_per_sec_device",
+    suffix = "_bf16" if compute_dtype == "bfloat16" else ""
+    out_recs = [
+        {"metric": f"gan_shade_imgs_per_sec_device{suffix}",
          "value": round(dev_rate, 1),
          "unit": f"imgs/s on device ({num_z} z/room over rasterized "
-                 "rooms, seg_mods reused per room; excludes input prep)",
-         "vs_baseline": None},
-        {"metric": "gan_shade_imgs_per_sec", "value": round(e2e_rate, 1),
-         "unit": f"imgs/s end-to-end ({num_z} z/room, uint8 fetch; "
-                 "excludes seg prep; tunnel-bandwidth-bound here)",
+                 "rooms, seg_mods reused per room; excludes input prep"
+                 + (f", {compute_dtype}" if compute_dtype else "") + ")",
          "vs_baseline": None},
     ]
+    if e2e:
+        # --- end-to-end line: the real serving calls, uint8 transport
+        gan_shade.colorize(model, params, segs[-1], num_z=num_z,
+                           z_chunk=z_chunk, out_dtype="uint8")   # warm
+        t0 = time.perf_counter()
+        for r in range(rooms):
+            out = gan_shade.colorize(model, params, segs[r], num_z=num_z,
+                                     z_chunk=z_chunk, out_dtype="uint8")
+        assert out.shape[0] == num_z and out.dtype == np.uint8
+        e2e_rate = rooms * num_z / (time.perf_counter() - t0)
+        out_recs.append(
+            {"metric": f"gan_shade_imgs_per_sec{suffix}",
+             "value": round(e2e_rate, 1),
+             "unit": f"imgs/s end-to-end ({num_z} z/room, uint8 fetch; "
+                     "excludes seg prep; tunnel-bandwidth-bound here)",
+             "vs_baseline": None})
+    return out_recs
 
 
 def bench_spade_quality(num_rooms: int = 8) -> dict:
@@ -710,6 +722,10 @@ def _run_one(name: str) -> None:
         _emit_any(bench_spade(compute_dtype="bfloat16"))
     elif name == "gan_shade":
         _emit_any(bench_gan_shade())
+    elif name == "gan_shade_bf16":
+        # device line only: the e2e rate is tunnel-fetch-bound, where
+        # dtype is irrelevant (uint8 transport either way)
+        _emit_any(bench_gan_shade(compute_dtype="bfloat16", e2e=False))
     elif name == "spade_quality":
         _emit_any(bench_spade_quality())
     elif name == "train":
@@ -778,7 +794,7 @@ def _run_only(names: str) -> None:
 # line).
 GROUPS = (
     ("spade", ("spade_256px", "spade_256px_bf16")),
-    ("shade", ("gan_shade", "spade_quality")),
+    ("shade", ("gan_shade", "gan_shade_bf16", "spade_quality")),
     ("refine", ("refine_96px", "refine_batched", "refine_256px",
                 "refine_batched_256px", "refine_iou")),
     ("train", ("train", "train_bf16", "train_device",
