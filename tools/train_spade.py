@@ -135,17 +135,45 @@ def main(argv=None):
         # content digest per file: rewriting a file's CONTENTS in place
         # (same name, even same size/mtime) changes the split identity,
         # while metadata churn that keeps bytes identical (rsync, git
-        # checkout touching mtimes) does NOT spuriously taint resumes
-        def _digest(path):
+        # checkout touching mtimes) does NOT spuriously taint resumes.
+        # Digests are memoized in .split_digests.json keyed by
+        # (size, mtime_ns, ctime_ns) so big pair dirs don't pay a full
+        # re-hash of every file on every trainer start — only changed
+        # files re-hash. ctime_ns is in the key because userspace cannot
+        # forge it: an in-place rewrite that restores size AND mtime
+        # (tests pin this case) still bumps ctime, so the memo can never
+        # serve a stale digest for changed bytes; metadata churn merely
+        # re-hashes without changing the identity.
+        import json as _json
+        cache_path = os.path.join(args.pairs_dir, ".split_digests.json")
+        try:
+            with open(cache_path) as fh:
+                dcache = _json.load(fh)
+        except Exception:
+            dcache = {}
+
+        def _digest(name):
+            path = os.path.join(args.pairs_dir, name)
+            st = os.stat(path)
+            key = f"{st.st_size}:{st.st_mtime_ns}:{st.st_ctime_ns}"
+            hit = dcache.get(name)
+            if hit and hit.get("key") == key:
+                return hit["sha"]
             h = hashlib.sha1()
             with open(path, "rb") as fh:
                 for block in iter(lambda: fh.read(1 << 20), b""):
                     h.update(block)
-            return h.hexdigest()[:12]
+            sha = h.hexdigest()[:12]
+            dcache[name] = {"key": key, "sha": sha}
+            return sha
 
         src = "pairs:" + ",".join(
-            "%s:%s" % (f, _digest(os.path.join(args.pairs_dir, f)))
-            for f in names)
+            "%s:%s" % (f, _digest(f)) for f in names)
+        try:
+            with open(cache_path, "w") as fh:
+                _json.dump(dcache, fh)
+        except OSError:
+            pass  # read-only pairs dir: just skip the memo
     else:
         src = f"synthetic:{args.synthetic or 32}:{args.crop}"
     val_split = {"source": hashlib.sha1(src.encode()).hexdigest()[:12],
