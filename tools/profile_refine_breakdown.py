@@ -361,8 +361,8 @@ def main():
                args.steps, "step_slim_aux")
 
     # the real thing
-    run_scan, state = _refine_scan(cfg, batch, model, batch_stats, params,
-                                   z0)
+    run_scan, _, state = _refine_scan(cfg, batch, model, batch_stats,
+                                      params, z0)
     keys = jax.random.split(jax.random.PRNGKey(0), args.steps)
     s2, _ = run_scan(state, keys)
     float(s2.z.sum())
