@@ -828,11 +828,29 @@ def _stream_child(here: str, names, timeout: float,
     import tempfile
 
     emitted = False
+
+    def forward(line: str) -> None:
+        nonlocal emitted
+        if line.startswith("{"):
+            print(line, flush=True)
+            emitted = True
+        else:
+            # progress chatter / keepalives: keep them off stdout so
+            # the driver's last-line parse always sees a metric
+            print(line, file=sys.stderr, flush=True)
+
     with tempfile.TemporaryFile(mode="w+") as errf:
+        # bufsize=0 + os.read: a line-buffered text wrapper can over-read
+        # a burst of lines into Python's buffer where select() cannot see
+        # them — they would neither reset the stall clock nor survive a
+        # kill. Raw reads + manual splitting keep every flushed line
+        # visible the moment it hits the pipe.
         proc = subprocess.Popen(
             [sys.executable, here, "--only", ",".join(names)],
-            stdout=subprocess.PIPE, stderr=errf, text=True,
+            stdout=subprocess.PIPE, stderr=errf, bufsize=0,
             env={**os.environ, "SLN_TPU_BENCH_CHILD": "1"})
+        fd = proc.stdout.fileno()
+        pending = b""
         hard_deadline = time.monotonic() + timeout
         last_line = time.monotonic()
         try:
@@ -853,25 +871,29 @@ def _stream_child(here: str, names, timeout: float,
                           "already printed were kept)", file=sys.stderr,
                           flush=True)
                     break
-                r, _, _ = select.select([proc.stdout], [], [],
+                r, _, _ = select.select([fd], [], [],
                                         min(deadline - now, 5.0))
-                if r:
-                    line = proc.stdout.readline()
-                    if not line:            # EOF: child exited
-                        proc.wait()
-                        break
-                    last_line = time.monotonic()
-                    if line.startswith("{"):
-                        print(line, end="", flush=True)
-                        emitted = True
-                    else:
-                        # progress chatter: keep it off stdout so the
-                        # driver's last-line parse always sees a metric
-                        print(line, end="", file=sys.stderr, flush=True)
+                if not r:
+                    continue
+                chunk = os.read(fd, 1 << 16)
+                if not chunk:               # EOF: child exited
+                    proc.wait()
+                    break
+                last_line = time.monotonic()
+                pending += chunk
+                *lines, pending = pending.split(b"\n")
+                for raw in lines:
+                    forward(raw.decode("utf-8", errors="replace"))
         finally:
             if proc.poll() is None:
                 proc.kill()
                 proc.wait()
+        if pending.strip():
+            # a non-empty tail means the child died mid-line (clean
+            # exits end every line with \n): never put a possibly
+            # truncated JSON fragment on stdout
+            print(pending.decode("utf-8", errors="replace"),
+                  file=sys.stderr, flush=True)
         if proc.returncode:
             errf.seek(0)
             tail = errf.read().strip().splitlines()[-3:]
